@@ -1,0 +1,233 @@
+"""Tetrahedral mesh preprocessing and the device-side mesh structure.
+
+This is the TPU-native replacement for the reference's OptiX acceleration
+structure (``src/tetrahedra_tracer.cpp:191-340``). The reference dedupes the
+four faces of every tetrahedron into a triangle soup with a
+triangle->(tet_a, tet_b) adjacency map and builds an OptiX GAS over it; rays
+are traced by collecting unsorted triangle hits and sorting/pairing them on
+the device (``src/optix/optix_trace_rays.cu``).
+
+Here we precompute, once on the host:
+
+- ``neighbors[C, 4]``: for every cell, the cell across the face opposite
+  vertex ``k`` (-1 on the boundary). Traversal becomes neighbor *marching*
+  which emits intervals already sorted — no sort, no dedupe, no
+  power-of-two hit cap.
+- ``planes[C, 4, 4]``: barycentric plane table. Row ``k`` holds ``(n, d)``
+  with ``bary_k(x) = n·x + d``; it is 1 at vertex ``k`` and 0 on the
+  opposite face. Computed as the inverse of the homogeneous vertex matrix,
+  so barycentrics anywhere along a ray are a fused multiply-add away —
+  replacing both the OptiX 2D hit barycentrics + ``combine_indices`` lift
+  (``optix_trace_rays.cu:39-75``) and the entry/exit lerp in
+  ``find_matched_cells_kernel`` (``src/tetrahedra_tracer.cu:150-156``).
+- ``hull_eqs[H, 4]``: outward half-space equations of the convex hull for
+  the slab test that yields per-ray [t_enter, t_exit] and the entry facet.
+- ``hull_cells[H]`` / ``vertex_cells[V]``: point-location seeds.
+
+All device arrays live in a :class:`TetrahedraMesh` pytree that can be
+passed straight into ``jax.jit``-ed functions and replicated/sharded with
+``jax.sharding``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+try:  # Native C++ fast path for adjacency extraction (csrc/tetra_geom.cpp).
+    from . import native as _native
+except Exception:  # pragma: no cover - native lib is optional
+    _native = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TetrahedraMesh:
+    """Device-side tetrahedral mesh (a JAX pytree).
+
+    Attributes:
+        vertices: ``f32[V, 3]`` vertex positions.
+        cells: ``i32[C, 4]`` vertex indices per tetrahedron.
+        neighbors: ``i32[C, 4]`` adjacent cell across the face opposite
+            vertex ``k``; -1 at the boundary.
+        planes: ``f32[C, 4, 4]`` barycentric plane rows ``(nx, ny, nz, d)``.
+        hull_eqs: ``f32[H, 4]`` outward convex-hull half-spaces
+            (``n·x + d <= 0`` inside).
+        hull_cells: ``i32[H]`` a cell incident to each hull facet (walk seed).
+        vertex_cells: ``i32[V]`` some cell incident to each vertex.
+    """
+
+    vertices: np.ndarray
+    cells: np.ndarray
+    neighbors: np.ndarray
+    planes: np.ndarray
+    hull_eqs: np.ndarray
+    hull_cells: np.ndarray
+    vertex_cells: np.ndarray
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells.shape[0]
+
+    def tree_flatten(self):
+        children = (
+            self.vertices,
+            self.cells,
+            self.neighbors,
+            self.planes,
+            self.hull_eqs,
+            self.hull_cells,
+            self.vertex_cells,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(
+    TetrahedraMesh, TetrahedraMesh.tree_flatten, TetrahedraMesh.tree_unflatten
+)
+
+
+def _face_key_sort(cells: np.ndarray) -> np.ndarray:
+    """All 4 faces of every cell as sorted vertex triples, shape [C*4, 3].
+
+    Flat index convention: face ``c*4 + k`` is the face of cell ``c``
+    opposite vertex ``k``.
+    """
+    # Face opposite vertex k keeps the other three vertices.
+    opp = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], dtype=np.int64)
+    faces = cells[:, opp]  # [C, 4, 3]
+    faces = np.sort(faces.reshape(-1, 3), axis=1)
+    return faces
+
+
+def build_adjacency(cells: np.ndarray) -> np.ndarray:
+    """Face-adjacency table ``neighbors[C, 4]`` (−1 where no neighbor).
+
+    Equivalent information to the reference's
+    ``convert_tetrahedra_to_triangles`` triangle→(tet_a, tet_b) map
+    (``src/tetrahedra_tracer.cpp:45-71``), derived by sorting face keys
+    instead of hashing. Raises if a face is shared by more than two cells
+    (mirrors the reference's error at ``tetrahedra_tracer.cpp:64-66``).
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    if _native is not None and _native.available():
+        return _native.build_adjacency(cells.astype(np.int32))
+    num_cells = cells.shape[0]
+    faces = _face_key_sort(cells)
+    order = np.lexsort((faces[:, 2], faces[:, 1], faces[:, 0]))
+    sf = faces[order]
+    same = (sf[1:] == sf[:-1]).all(axis=1)
+    if np.any(same[:-1] & same[1:]):
+        raise ValueError("a triangle face is shared by more than 2 tetrahedra")
+    neighbors = np.full(num_cells * 4, -1, dtype=np.int32)
+    a = order[:-1][same]
+    b = order[1:][same]
+    neighbors[a] = b // 4
+    neighbors[b] = a // 4
+    return neighbors.reshape(num_cells, 4)
+
+
+def compute_planes(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
+    """Barycentric plane tables ``f32[C, 4, 4]``.
+
+    For cell ``c`` with vertex positions ``v_0..v_3``, solves for the
+    affine functions ``b_k(x) = n_k·x + d_k`` with ``b_k(v_j) = δ_kj`` by
+    inverting the homogeneous matrix ``M = [[v_0..v_3]; [1 1 1 1]]``.
+    Near-singular (degenerate) cells get well-defined but extreme planes;
+    exactly singular ones are replaced with a sentinel that makes every
+    barycentric evaluate to a large negative value.
+    """
+    v = np.asarray(vertices, dtype=np.float64)[np.asarray(cells, dtype=np.int64)]
+    m = np.concatenate([v, np.ones_like(v[..., :1])], axis=-1)  # [C, 4, 4]
+    m = np.swapaxes(m, -1, -2)  # columns are [v_k; 1]
+    dets = np.linalg.det(m)
+    singular = np.abs(dets) < 1e-300
+    if np.any(singular):
+        m = m.copy()
+        m[singular] = np.eye(4)
+    planes = np.linalg.inv(m)
+    if np.any(singular):
+        planes[singular] = np.array([0.0, 0.0, 0.0, -1e30])[None, :]
+    return planes.astype(np.float32)
+
+
+def _convex_hull(vertices: np.ndarray):
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(np.asarray(vertices, dtype=np.float64), qhull_options="Qx")
+    return hull
+
+
+def build_mesh(
+    vertices: np.ndarray,
+    cells: Optional[np.ndarray] = None,
+    *,
+    neighbors: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> TetrahedraMesh:
+    """Build the full device mesh structure from vertices (+ optional cells).
+
+    If ``cells`` is None, the point cloud is Delaunay-tetrahedralized first
+    (matching ``TetrahedraNerf._load_points_from_metadata``,
+    ``tetranerf/nerfstudio/model.py:302-316`` of the reference).
+    """
+    import jax.numpy as jnp
+
+    vertices = np.ascontiguousarray(vertices, dtype=np.float64)
+    if cells is None:
+        from .delaunay import triangulate
+
+        cells = triangulate(vertices)
+    cells = np.ascontiguousarray(cells, dtype=np.int32)
+    if neighbors is None:
+        neighbors = build_adjacency(cells)
+    planes = compute_planes(vertices, cells)
+
+    # Convex hull half-spaces for the slab entry/exit test. Qhull returns
+    # facet equations with outward unit normals: n·x + d <= 0 inside.
+    hull = _convex_hull(vertices)
+    hull_eqs = hull.equations.astype(np.float64)
+
+    # Map each hull facet to an incident boundary cell: hash boundary faces
+    # of the complex by sorted vertex triple and look the facet up; facets
+    # that merged/retriangulated differently fall back to a vertex-incident
+    # cell (the traversal walk corrects the few-step discrepancy).
+    vertex_cells = np.zeros(len(vertices), dtype=np.int32)
+    c_idx = np.arange(len(cells), dtype=np.int32)
+    for k in range(4):
+        vertex_cells[cells[:, k]] = c_idx
+
+    boundary_mask = (neighbors < 0).reshape(-1)
+    boundary_faces = _face_key_sort(cells.astype(np.int64))[boundary_mask]
+    boundary_cells = np.repeat(c_idx, 4)[boundary_mask]
+    face_lut = {tuple(f): c for f, c in zip(boundary_faces, boundary_cells)}
+
+    hull_simplices = np.sort(hull.simplices, axis=1)
+    hull_cells = np.empty(len(hull_simplices), dtype=np.int32)
+    for i, tri in enumerate(hull_simplices):
+        c = face_lut.get(tuple(int(t) for t in tri))
+        if c is None:
+            c = vertex_cells[tri[0]]
+        hull_cells[i] = c
+
+    return TetrahedraMesh(
+        vertices=jnp.asarray(vertices, dtype=dtype),
+        cells=jnp.asarray(cells),
+        neighbors=jnp.asarray(neighbors),
+        planes=jnp.asarray(planes.astype(dtype)),
+        hull_eqs=jnp.asarray(hull_eqs.astype(dtype)),
+        hull_cells=jnp.asarray(hull_cells),
+        vertex_cells=jnp.asarray(vertex_cells),
+    )
