@@ -3,16 +3,23 @@
 Multi-chip TPU hardware is not available in CI; sharding logic is
 exercised on virtual CPU devices instead (same XLA collectives/partitioner
 code path as on a real mesh).
+
+NOTE: this environment preloads jax (with a TPU plugin) from
+``sitecustomize`` at interpreter start, so ``JAX_PLATFORMS`` env tweaks
+are too late — the platform must be forced through ``jax.config``.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

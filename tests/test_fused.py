@@ -1,0 +1,124 @@
+"""Fused march+features must agree with the modular reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tetranerf_tpu.geometry import build_mesh
+from tetranerf_tpu.ops import (
+    march,
+    march_features,
+    match_samples,
+    ray_bounds,
+    sample_features,
+)
+from tetranerf_tpu.ops.interpolation import interpolate_values
+
+
+@pytest.fixture(scope="module")
+def ball_mesh(ball_points):
+    return build_mesh(ball_points)
+
+
+def _rays(rng, n):
+    o = rng.normal(size=(n, 3))
+    o *= 3.0 / np.linalg.norm(o, axis=1, keepdims=True)
+    t = rng.uniform(-0.3, 0.3, size=(n, 3))
+    d = t - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+def test_fused_intervals_match_modular(ball_mesh, rng):
+    o, d = _rays(rng, 32)
+    fused = march_features(ball_mesh, None, o, d, max_steps=128)
+    modular = march(ball_mesh, o, d, max_steps=128)
+    np.testing.assert_array_equal(
+        np.asarray(fused.num_valid), np.asarray(modular.num_cells)
+    )
+    num = np.asarray(fused.num_valid)
+    for r in range(len(o)):
+        n = num[r]
+        np.testing.assert_allclose(
+            np.asarray(fused.t1[r, :n]), np.asarray(modular.t1[r, :n]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.cells[r, :n]), np.asarray(modular.cells[r, :n])
+        )
+
+
+def test_fused_features_match_interpolation(ball_mesh, rng):
+    """Endpoint-lerped features == gather-per-sample interpolation."""
+    o, d = _rays(rng, 16)
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 16)).astype(np.float32)
+    )
+    fused = march_features(ball_mesh, field, o, d, max_steps=128)
+    nears, fars, _, _, ray_mask = ray_bounds(fused)
+    assert np.asarray(ray_mask).all()
+    s = np.linspace(0.05, 0.95, 48)[None, :].astype(np.float32)
+    distances = jnp.asarray(
+        np.asarray(nears)[:, None] * (1 - s) + np.asarray(fars)[:, None] * s
+    )
+    for use_matmul in [False, True]:
+        feats, mask = sample_features(
+            fused,
+            distances,
+            ray_mask,
+            use_matmul=use_matmul,
+            compute_dtype=jnp.float32,
+        )
+        modular = march(ball_mesh, o, d, max_steps=128)
+        matched = match_samples(ball_mesh, modular, distances, o, d)
+        ref = interpolate_values(
+            matched["vertex_indices"], matched["barycentric"], field.T
+        )
+        m = np.asarray(mask) & np.asarray(matched["mask"])
+        assert m.mean() > 0.98
+        err = np.abs(np.asarray(feats) - np.asarray(ref))[m]
+        # Sliver cells amplify f32 roundoff ~1/h in both formulations (they
+        # just land it differently); typical agreement is ~3e-4.
+        assert err.max() < 3e-2, f"use_matmul={use_matmul}"
+        assert err.mean() < 1e-3, f"use_matmul={use_matmul}"
+        # Masks agree
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(matched["mask"]))
+
+
+def test_fused_matmul_equals_lerp(ball_mesh, rng):
+    o, d = _rays(rng, 8)
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 8)).astype(np.float32)
+    )
+    fused = march_features(ball_mesh, field, o, d, max_steps=64)
+    nears, fars, _, _, ray_mask = ray_bounds(fused)
+    s = np.linspace(0.1, 0.9, 16)[None, :].astype(np.float32)
+    distances = jnp.asarray(
+        np.asarray(nears)[:, None] * (1 - s) + np.asarray(fars)[:, None] * s
+    )
+    a, _ = sample_features(
+        fused, distances, ray_mask, use_matmul=True, compute_dtype=jnp.float32
+    )
+    b, _ = sample_features(fused, distances, ray_mask, use_matmul=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_feats_differentiable(ball_mesh, rng):
+    """Gradients flow to the field through the fused path (the reference's
+    interpolate_values_backward scatter, ``tetranerf_tracer.cu:224-248``,
+    is produced automatically by differentiating the gathers)."""
+    o, d = _rays(rng, 4)
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 4)).astype(np.float32)
+    )
+
+    def loss(f):
+        fused = march_features(ball_mesh, f, o, d, max_steps=64)
+        nears, fars, _, _, ray_mask = ray_bounds(fused)
+        dist = (nears[:, None] + fars[:, None]) / 2.0
+        feats, mask = sample_features(fused, dist, ray_mask)
+        return jnp.sum(feats**2)
+
+    g = jax.grad(loss)(field)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0

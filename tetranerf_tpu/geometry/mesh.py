@@ -56,6 +56,11 @@ class TetrahedraMesh:
             (``n·x + d <= 0`` inside).
         hull_cells: ``i32[H]`` a cell incident to each hull facet (walk seed).
         vertex_cells: ``i32[V]`` some cell incident to each vertex.
+        march_table: ``f32[C, 24]`` packed per-cell traversal row — planes
+            (16 f32) | neighbors (4 i32 bit-cast) | vertex ids (4 i32
+            bit-cast). Random-row gathers on TPU are row-rate-bound, so the
+            hot marching loop fetches ONE packed row per step instead of
+            three separate tables.
     """
 
     vertices: np.ndarray
@@ -65,6 +70,7 @@ class TetrahedraMesh:
     hull_eqs: np.ndarray
     hull_cells: np.ndarray
     vertex_cells: np.ndarray
+    march_table: np.ndarray
 
     @property
     def num_vertices(self) -> int:
@@ -83,6 +89,7 @@ class TetrahedraMesh:
             self.hull_eqs,
             self.hull_cells,
             self.vertex_cells,
+            self.march_table,
         )
         return children, None
 
@@ -222,12 +229,23 @@ def build_mesh(
             c = vertex_cells[tri[0]]
         hull_cells[i] = c
 
+    planes_f32 = planes.astype(np.float32)
+    march_table = np.concatenate(
+        [
+            planes_f32.reshape(len(cells), 16),
+            neighbors.astype(np.int32).view(np.float32),
+            cells.view(np.float32),
+        ],
+        axis=1,
+    )
+
     return TetrahedraMesh(
         vertices=jnp.asarray(vertices, dtype=dtype),
         cells=jnp.asarray(cells),
         neighbors=jnp.asarray(neighbors),
-        planes=jnp.asarray(planes.astype(dtype)),
+        planes=jnp.asarray(planes_f32),
         hull_eqs=jnp.asarray(hull_eqs.astype(dtype)),
         hull_cells=jnp.asarray(hull_cells),
         vertex_cells=jnp.asarray(vertex_cells),
+        march_table=jnp.asarray(march_table),
     )

@@ -1,0 +1,65 @@
+"""Model configuration, mirroring the reference's ``TetrahedraNerfConfig``
+(``tetranerf/nerfstudio/model.py:70-107``) field-for-field, plus
+TPU-specific knobs (compute dtype, traversal bounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Literal, Optional
+
+
+@dataclasses.dataclass
+class TetrahedraNerfConfig:
+    tetrahedra_path: Optional[Path] = None
+    num_tetrahedra_vertices: Optional[int] = None
+    num_tetrahedra_cells: Optional[int] = None
+
+    max_intersected_triangles: int = 512
+    """Traversal step bound per ray. Unlike the reference
+    (``src/py_binding.cpp:44-47``) this need not be a power of two — the
+    marcher emits sorted intervals without a bitonic sort."""
+    num_samples: int = 256
+    num_fine_samples: int = 256
+    use_biased_sampler: bool = False
+    field_dim: int = 64
+
+    num_color_layers: int = 1
+    num_density_layers: int = 3
+    hidden_size: int = 128
+
+    input_fourier_frequencies: int = 0
+
+    initialize_colors: bool = True
+
+    use_gradient_scaling: bool = False
+    """Scale gradients down for points close to the camera (Radiance Field
+    Gradient Scaling; reference ``model.py:195-205, 625-630``)."""
+    background_color: Literal["random", "last_sample", "black", "white"] = "white"
+
+    appearance_embed_dim: int = 0
+    """Per-image appearance embedding dimension (0 = disabled)."""
+
+    use_occupancy_field: bool = False
+    """Maintain an EMA per-cell occupancy field (reference keeps the buffer
+    but never reads it in the forward pass; ``model.py:256-265``)."""
+
+    # --- TPU-specific additions (no reference counterpart) ---
+    compute_dtype: str = "bfloat16"
+    """MLP compute dtype; parameters stay float32."""
+    far_plane: float = 1e3
+    """Depth reported for rays that hit nothing (reference uses the
+    collider's far plane, ``model.py:645-650``)."""
+    depth_method: Literal["median", "expected"] = "median"
+
+    def __post_init__(self):
+        if self.tetrahedra_path is not None and self.num_tetrahedra_vertices is None:
+            from ..geometry.io import load_tetrahedra
+
+            path = Path(self.tetrahedra_path)
+            if not path.exists():
+                raise RuntimeError(f"Tetrahedra path {path} does not exist")
+            data = load_tetrahedra(path)
+            self.num_tetrahedra_vertices = len(data["vertices"])
+            self.num_tetrahedra_cells = len(data["cells"])

@@ -1,0 +1,287 @@
+"""Fused traversal + field interpolation — the training hot path.
+
+Motivation (measured on TPU v5e): random-row gathers run at only
+~10-20M rows/s through XLA *or* naive per-row Pallas DMA — they are
+row-rate-bound, not bandwidth-bound. The hot path must therefore gather as
+few rows as possible and keep everything else dense:
+
+1. The march reads ONE packed geometry row per (ray, step) —
+   ``TetrahedraMesh.march_table[C, 24]`` holds planes (16 f32), neighbor
+   ids and vertex ids (8 i32 bit-cast) — plus the 4 vertex feature rows of
+   the current cell.
+2. It emits the interpolated feature vector at each interval *exit point*.
+   Barycentric interpolation is affine along the ray inside a cell and
+   continuous across shared faces, so the feature at any sample is an
+   exact linear interpolation of the two interval-endpoint features.
+3. Per-sample features then come from a *dense* lerp over the emitted
+   ``[R, T+1, F]`` buffer — a structured two-nonzero matmul on the MXU (or
+   a batched take-along-axis) with zero random gathers.
+
+This replaces the reference's ``find_visited_cells`` +
+``interpolate_values`` round trips (``tetranerf/nerfstudio/model.py:
+560-573``, ``src/tetrahedra_tracer.cu:115-221``) with an equivalent but
+gather-minimal computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.mesh import TetrahedraMesh
+from .traversal import _eval_planes, _walk, hull_intersect
+
+
+class FusedMarch(NamedTuple):
+    """Uncompacted traversal intervals with interval-endpoint features.
+
+    Interval ``k`` of ray ``r`` spans ``[t0[r,k], t1[r,k]]`` where
+    ``t0[:, 0] = t_entry`` and ``t0[:, k] = t1[:, k-1]``. Invalid slots
+    have ``valid=False`` and ``t1=+inf``. ``feats[:, 0]`` is the feature at
+    the chord entry point; ``feats[:, k+1]`` is the feature at the exit of
+    interval ``k``.
+    """
+
+    cells: jnp.ndarray  # i32[R, T]
+    t1: jnp.ndarray  # f32[R, T] exit distances (inf padded)
+    t_entry: jnp.ndarray  # f32[R]
+    valid: jnp.ndarray  # bool[R, T]
+    num_valid: jnp.ndarray  # i32[R]
+    feats: Optional[jnp.ndarray]  # f32[R, T+1, F] endpoint features
+    hit: jnp.ndarray  # bool[R]
+
+    @property
+    def t0(self):
+        return jnp.concatenate(
+            [self.t_entry[:, None], self.t1[:, :-1]], axis=1
+        )
+
+
+def _unpack_row(row):
+    planes = row[..., :16].reshape(*row.shape[:-1], 4, 4)
+    neighbors = jax.lax.bitcast_convert_type(row[..., 16:20], jnp.int32)
+    vertex_ids = jax.lax.bitcast_convert_type(row[..., 20:24], jnp.int32)
+    return planes, neighbors, vertex_ids
+
+
+def march_features(
+    mesh: TetrahedraMesh,
+    field: Optional[jnp.ndarray],
+    origins,
+    directions,
+    max_steps: int = 512,
+    entry_walk_steps: int = 16,
+) -> FusedMarch:
+    """March rays, emitting sorted intervals and endpoint features.
+
+    ``field`` is ``f32[V, F]`` (or None to skip feature emission). See the
+    module docstring for the design; geometry logic matches
+    :func:`tetranerf_tpu.ops.traversal.march` (same slab + walk entry, same
+    locally-conditioned crossing computation).
+    """
+    origins = jnp.asarray(origins)
+    directions = jnp.asarray(directions)
+    num_rays = origins.shape[0]
+
+    t_in, t_out, entry_facet, hit = hull_intersect(mesh, origins, directions)
+    span = jnp.maximum(t_out - t_in, 1e-30)
+    eps_t = 1e-3 * span + 1e-7
+    p_entry = origins + (t_in + eps_t)[:, None] * directions
+    seed = jnp.where(hit, mesh.hull_cells[entry_facet], -1)
+    entry_cell = _walk(mesh, seed, p_entry, entry_walk_steps)
+    hit = hit & (entry_cell >= 0)
+
+    table = mesh.march_table
+
+    def crossings(row, t):
+        planes_c, neighbors, vertex_ids = _unpack_row(row)
+        p = origins + t[:, None] * directions
+        b = _eval_planes(planes_c, p)
+        den = jnp.sum(planes_c[..., :3] * directions[:, None, :], axis=-1)
+        t_cross = t[:, None] - b / jnp.where(den == 0.0, jnp.inf, den)
+        return b, den, t_cross, neighbors, vertex_ids
+
+    c0_safe = jnp.maximum(entry_cell, 0)
+    row0 = table[c0_safe]
+    b0, den0, t_cross0, _, vids0 = crossings(row0, t_in + eps_t)
+    t_entry = jnp.max(jnp.where(den0 > 0.0, t_cross0, -jnp.inf), axis=-1)
+    t_entry = jnp.where(jnp.isfinite(t_entry), t_entry, t_in)
+    t_cap = t_out + eps_t
+
+    if field is not None:
+        bary_entry = b0 + (t_entry - (t_in + eps_t))[:, None] * den0
+        feat_entry = jnp.sum(
+            bary_entry[..., None] * field[jnp.maximum(vids0, 0)], axis=-2
+        )
+        feat_entry = jnp.where(hit[:, None], feat_entry, 0.0)
+
+    def step(state, _):
+        c, t, done = state
+        c_safe = jnp.maximum(c, 0)
+        row = table[c_safe]
+        b, den, t_cross, neighbors, vertex_ids = crossings(row, t)
+        t_k = jnp.where(den < 0.0, t_cross, jnp.inf)
+        k_exit = jnp.argmin(t_k, axis=-1)
+        t_exit_raw = jnp.min(t_k, axis=-1)
+        found = jnp.isfinite(t_exit_raw)
+        t_exit = jnp.maximum(t_exit_raw, t)
+        nxt = jnp.take_along_axis(neighbors, k_exit[:, None], axis=1)[:, 0]
+        valid = ~done & found & (c >= 0)
+        if field is not None:
+            bary_exit = b + (t_exit - t)[:, None] * den  # affine along ray
+            gathered = field[jnp.maximum(vertex_ids, 0)]  # [R, 4, F]
+            feat = jnp.sum(bary_exit[..., None] * gathered, axis=-2)
+            feat = jnp.where(valid[:, None], feat, 0.0)
+        else:
+            feat = jnp.zeros((num_rays, 0), field.dtype if field is not None else jnp.float32)
+        emit = (
+            jnp.where(valid, c, -1),
+            jnp.where(valid, t_exit, jnp.inf),
+            feat,
+        )
+        new_done = done | ~found | (nxt < 0) | (t_exit >= t_cap)
+        new_state = (
+            jnp.where(valid, nxt, c),
+            jnp.where(valid, t_exit, t),
+            new_done,
+        )
+        return new_state, emit
+
+    init = (entry_cell, t_entry, ~hit)
+    _, (cells, t1s, feats) = jax.lax.scan(step, init, None, length=max_steps)
+    cells = cells.T
+    t1s = t1s.T
+    valid = cells >= 0
+    num_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    hit = hit & (num_valid > 0)
+    if field is not None:
+        feats = jnp.moveaxis(feats, 0, 1)  # [R, T, F]
+        feats = jnp.concatenate([feat_entry[:, None, :], feats], axis=1)
+    else:
+        feats = None
+    return FusedMarch(
+        cells=cells,
+        t1=t1s,
+        t_entry=t_entry,
+        valid=valid,
+        num_valid=num_valid,
+        feats=feats,
+        hit=hit,
+    )
+
+
+def ray_bounds(res: FusedMarch, near: float = 0.0):
+    """Per-ray ``(nears, fars, first_kept, num_kept, ray_mask)``.
+
+    Intervals whose entry lies before ``near`` are excluded, matching the
+    reference semantics where the partial cell containing an inside-hull
+    ray origin is never reported (``optix_trace_rays.cu:110-266``).
+    """
+    t0 = res.t0
+    drop = jnp.sum(res.valid & (t0 < near), axis=-1).astype(jnp.int32)
+    num_kept = res.num_valid - drop
+    ray_mask = res.hit & (num_kept > 0)
+    max_t = res.t1.shape[1]
+    first = jnp.minimum(drop, max_t - 1)[:, None]
+    nears = jnp.take_along_axis(t0, first, axis=1)[:, 0]
+    last = jnp.clip(res.num_valid - 1, 0, max_t - 1)[:, None]
+    fars = jnp.take_along_axis(res.t1, last, axis=1)[:, 0]
+    nears = jnp.where(ray_mask, nears, 0.0)
+    fars = jnp.where(ray_mask, jnp.maximum(fars, nears + 1e-6), 1.0)
+    return nears, fars, drop, num_kept, ray_mask
+
+
+def biased_warp_range(res: FusedMarch, first, num_kept, nears, fars, samples):
+    """Interval-biased warp over a contiguous *range* of valid intervals.
+
+    Same math as :func:`tetranerf_tpu.ops.sampling.biased_warp`
+    (reference ``model.py:111-122``) but operating on the uncompacted
+    interval layout: intervals ``first..first+num_kept-1`` each receive an
+    equal share of the sample budget.
+    """
+    max_t = res.t1.shape[1]
+    idx_t = jnp.arange(max_t)[None, :]
+    kept = (idx_t >= first[:, None]) & (idx_t < (first + num_kept)[:, None])
+    t0 = res.t0
+    lengths = jnp.where(kept, jnp.maximum(res.t1 - t0, 0.0), 0.0)
+    span = fars - nears
+    uni = (samples - nears[:, None]) / jnp.where(span == 0, 1.0, span)[:, None]
+    nk = jnp.maximum(num_kept, 1)[:, None]
+    rest = uni * nk
+    local = jnp.clip(jnp.floor(rest), 0.0, nk - 1)
+    rest = rest - local
+    intervals = first[:, None] + local.astype(jnp.int32)
+    intervals = jnp.clip(intervals, 0, max_t - 1)
+    cum = jnp.cumsum(
+        jnp.concatenate([nears[:, None], lengths], axis=1), axis=1
+    )
+    mapped = jnp.take_along_axis(cum, intervals, axis=1) + (
+        jnp.take_along_axis(lengths, intervals, axis=1) * rest
+    )
+    return mapped
+
+
+def sample_features(
+    res: FusedMarch,
+    distances,
+    ray_mask,
+    use_matmul: bool = True,
+    compute_dtype=jnp.bfloat16,
+):
+    """Per-sample features + validity from dense interval-endpoint feats.
+
+    ``distances f32[R, S]`` (sorted). Returns ``(features f32[R, S, F],
+    mask bool[R, S])``. The sample's interval is found by a vectorized
+    compare-sum (the two-pointer sweep of the reference's
+    ``find_matched_cells_kernel``, ``src/tetrahedra_tracer.cu:132-159``,
+    is equivalent to searchsorted); its feature is the exact lerp of the
+    interval endpoint features.
+    """
+    t1 = res.t1  # inf at invalid slots
+    max_t = t1.shape[1]
+    # k = first interval with t1 > d  (compare-sum searchsorted)
+    k = jnp.sum(
+        (t1[:, None, :] <= distances[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    k_c = jnp.minimum(k, max_t - 1)
+    t0 = res.t0
+    t0k = jnp.take_along_axis(t0, k_c, axis=1)
+    t1k = jnp.take_along_axis(t1, k_c, axis=1)
+    mask = (
+        ray_mask[:, None]
+        & (k < res.num_valid[:, None])
+        & (distances >= t0k)
+    )
+    frac = (distances - t0k) / jnp.maximum(t1k - t0k, 1e-20)
+    frac = jnp.clip(jnp.where(mask, frac, 0.0), 0.0, 1.0)
+
+    feats = res.feats  # [R, T+1, F]
+    if use_matmul:
+        # Two-nonzero structured matmul on the MXU: rows select endpoint
+        # k (weight 1-frac) and k+1 (weight frac) of the feature buffer.
+        slots = jnp.arange(max_t + 1, dtype=jnp.int32)[None, None, :]
+        w = jnp.where(slots == k_c[..., None], (1.0 - frac)[..., None], 0.0)
+        w = w + jnp.where(slots == (k_c + 1)[..., None], frac[..., None], 0.0)
+        w = jnp.where(mask[..., None], w, 0.0)
+        # With f32 operands force full precision (TPU would otherwise
+        # decompose the f32 matmul into bf16 MXU passes).
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(compute_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        out = jax.lax.dot_general(
+            w.astype(compute_dtype),
+            feats.astype(compute_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    else:
+        f0 = jnp.take_along_axis(feats, k_c[..., None], axis=1)
+        f1 = jnp.take_along_axis(feats, (k_c + 1)[..., None], axis=1)
+        out = (1.0 - frac)[..., None] * f0 + frac[..., None] * f1
+        out = jnp.where(mask[..., None], out, 0.0)
+    return out, mask

@@ -1,0 +1,150 @@
+"""Ray samplers: stratified/uniform, interval-biased warp, PDF resampling.
+
+jnp ports of the reference's sampler stack:
+
+- :func:`stratified_bins` + :func:`uniform_sample` mirror nerfstudio's
+  ``UniformSampler`` / the bin construction in ``TetrahedraSampler``
+  (``tetranerf/nerfstudio/model.py:141-192``).
+- :func:`biased_warp` is ``map_from_real_distances_to_biased_with_bounds``
+  (``model.py:111-122``): warps uniformly spaced samples so each traversal
+  interval receives an equal share of samples, concentrating them where
+  tetrahedra are small (dense geometry).
+- :func:`pdf_sample` mirrors nerfstudio's ``PDFSampler`` (histogram
+  padding, stratified inverse-CDF sampling, optional merge with the
+  original bins).
+
+All samplers work on *bin edges* ``[R, S+1]``; sample locations are bin
+midpoints, matching nerfstudio frustum starts/ends.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_bins(
+    key: Optional[jax.Array],
+    num_rays: int,
+    num_samples: int,
+    dtype=jnp.float32,
+):
+    """Bin edges in [0, 1]: linspace, optionally jittered between
+    neighboring bin centers (the reference's stratification scheme,
+    ``model.py:166-174``). ``key=None`` disables jitter (eval)."""
+    bins = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)
+    bins = jnp.broadcast_to(bins[None, :], (num_rays, num_samples + 1))
+    if key is None:
+        return bins
+    centers = (bins[..., 1:] + bins[..., :-1]) / 2.0
+    upper = jnp.concatenate([centers, bins[..., -1:]], axis=-1)
+    lower = jnp.concatenate([bins[..., :1], centers], axis=-1)
+    t = jax.random.uniform(key, bins.shape, dtype=dtype)
+    return lower + (upper - lower) * t
+
+
+def uniform_sample(key, nears, fars, num_samples: int):
+    """Uniform (optionally stratified) bin edges in euclidean distance."""
+    num_rays = nears.shape[0]
+    bins = stratified_bins(key, num_rays, num_samples, dtype=nears.dtype)
+    return nears[:, None] + bins * (fars - nears)[:, None]
+
+
+def biased_warp(num_bounds, bounds, samples):
+    """Warp euclidean bin edges into traversal-interval-biased positions.
+
+    Port of ``map_from_real_distances_to_biased_with_bounds``
+    (``model.py:111-122``). ``bounds`` is ``[R, T, 2]`` interval
+    [entry, exit] distances, ``num_bounds [R]`` the valid count,
+    ``samples [R, S+1]`` edges within [first entry, last exit].
+    """
+    num_bounds = jnp.asarray(num_bounds, jnp.int32)
+    max_t = bounds.shape[1]
+    valid = jnp.arange(max_t)[None, :] < num_bounds[:, None]
+    b0 = jnp.where(valid, bounds[..., 0], 0.0)
+    b1 = jnp.where(valid, bounds[..., 1], 0.0)
+    lengths = jnp.maximum(b1 - b0, 0.0)
+    bounds_start = bounds[:, 0, 0]
+    last = jnp.maximum(num_bounds - 1, 0)[:, None]
+    bounds_end = jnp.take_along_axis(bounds[..., 1], last, axis=1)[:, 0]
+    span = bounds_end - bounds_start
+    uni = (samples - bounds_start[:, None]) / jnp.where(span == 0, 1.0, span)[:, None]
+    rest = uni * num_bounds[:, None]
+    intervals = jnp.clip(
+        jnp.floor(rest), 0.0, jnp.maximum(num_bounds[:, None] - 1, 0)
+    )
+    rest = rest - intervals
+    intervals = intervals.astype(jnp.int32)
+    cum = jnp.cumsum(
+        jnp.concatenate([bounds_start[:, None], lengths], axis=1), axis=1
+    )
+    mapped = jnp.take_along_axis(cum, intervals, axis=1) + jnp.take_along_axis(
+        lengths, intervals, axis=1
+    ) * rest
+    return mapped
+
+
+def pdf_sample(
+    key: Optional[jax.Array],
+    spacing_bins,
+    weights,
+    num_samples: int,
+    include_original: bool = True,
+    histogram_padding: float = 0.01,
+):
+    """Inverse-CDF resampling of spacing-domain bins by rendering weights.
+
+    Equivalent to nerfstudio's ``PDFSampler`` as configured by the
+    reference (``model.py:462-463, 584``): per-bin weights are padded,
+    normalized into a CDF over the existing bins, ``num_samples + 1`` new
+    edges are drawn (stratified when ``key`` is given), and optionally
+    merged+sorted with the original edges.
+
+    Args:
+        spacing_bins: ``[R, S+1]`` existing bin edges in spacing domain.
+        weights: ``[R, S]`` rendering weights of the existing bins.
+
+    Returns new spacing-domain bin edges ``[R, N+1]`` where
+    ``N = num_samples (+ S + 1 if include_original)``.
+    """
+    num_bins = num_samples + 1
+    weights = weights + histogram_padding
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    padding = jnp.maximum(1e-5 - weights_sum, 0.0)
+    weights = weights + padding / weights.shape[-1]
+    weights_sum = weights_sum + padding
+    pdf = weights / weights_sum
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(pdf[..., :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )
+    cdf = jnp.minimum(cdf, 1.0)
+
+    if key is not None:
+        u = jnp.arange(num_bins, dtype=pdf.dtype) / num_bins
+        u = u[None, :] + jax.random.uniform(
+            key, (pdf.shape[0], num_bins), dtype=pdf.dtype
+        ) / num_bins
+    else:
+        u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins, dtype=pdf.dtype)
+        u = u[None, :] + 1.0 / (2 * num_bins)
+        u = jnp.broadcast_to(u, (pdf.shape[0], num_bins))
+    u = jnp.clip(u, 0.0, 1.0 - 1e-7)
+
+    inds = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(spacing_bins, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(spacing_bins, above, axis=-1)
+    t = jnp.clip(
+        (u - cdf_g0) / jnp.where(cdf_g1 == cdf_g0, 1.0, cdf_g1 - cdf_g0), 0, 1
+    )
+    new_bins = bins_g0 + t * (bins_g1 - bins_g0)
+    if include_original:
+        new_bins = jnp.sort(
+            jnp.concatenate([new_bins, spacing_bins], axis=-1), axis=-1
+        )
+    return new_bins
