@@ -1,0 +1,98 @@
+"""Training-throughput benchmark on real hardware.
+
+Measures end-to-end training rays/sec (forward + backward + optimizer,
+flagship ``tetra-nerf`` biased-sampling config) on a synthetic scene sized
+like a sparse COLMAP reconstruction. Prints ONE JSON line; ``vs_baseline``
+is measured against the 2M rays/sec/chip north-star target
+(BASELINE.md — the reference publishes no numeric throughput).
+
+Usage: python bench.py [--points N] [--rays N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--points", type=int, default=100_000)
+    parser.add_argument("--rays", type=int, default=8192)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--max-steps", type=int, default=256,
+                        help="traversal step bound per ray")
+    parser.add_argument("--num-samples", type=int, default=128)
+    args = parser.parse_args()
+
+    import jax
+
+    from tetranerf_tpu.geometry import build_mesh
+    from tetranerf_tpu.models import TetraNerf
+    from tetranerf_tpu.training import Trainer, tetranerf_preset
+    from tetranerf_tpu.utils import (
+        make_sphere_scene,
+        sample_sphere_rays,
+        sphere_ray_targets,
+    )
+
+    t0 = time.perf_counter()
+    points, colors = make_sphere_scene(args.points, seed=0)
+    mesh = build_mesh(points)
+    print(
+        f"# mesh: {mesh.num_vertices} vertices, {mesh.num_cells} cells "
+        f"(built in {time.perf_counter() - t0:.1f}s) on {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    config = tetranerf_preset()
+    config.model.num_samples = args.num_samples
+    config.model.num_fine_samples = args.num_samples
+    config.model.max_intersected_triangles = args.max_steps
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        o, d = sample_sphere_rays(rng, args.rays)
+        return {
+            "origins": o,
+            "directions": d,
+            "rgb": sphere_ray_targets(o, d),
+        }
+
+    batches = [make_batch() for _ in range(4)]
+    # Warmup/compile.
+    m = trainer.train_step(batches[0])
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        m = trainer.train_step(batches[i % len(batches)])
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    rays_per_sec = args.steps * args.rays / dt
+
+    print(
+        f"# {args.steps} steps x {args.rays} rays in {dt:.2f}s "
+        f"({dt / args.steps * 1e3:.1f} ms/step), loss={float(m['loss']):.4f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / 2_000_000, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Model + training end-to-end tests on the synthetic sphere scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tetranerf_tpu.geometry import build_mesh
+from tetranerf_tpu.models import RayBundle, TetraNerf, TetrahedraNerfConfig
+from tetranerf_tpu.training import Trainer, tetranerf_preset
+from tetranerf_tpu.utils import (
+    make_sphere_scene,
+    sample_sphere_rays,
+    sphere_ray_targets,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    points, colors = make_sphere_scene(600, seed=1)
+    mesh = build_mesh(points)
+    return mesh, colors
+
+
+def _small_config(**kw):
+    base = dict(
+        num_samples=24,
+        num_fine_samples=16,
+        max_intersected_triangles=96,
+        field_dim=16,
+        hidden_size=32,
+        use_biased_sampler=True,
+        use_gradient_scaling=True,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return TetrahedraNerfConfig(**base)
+
+
+def test_forward_shapes_and_masks(scene):
+    mesh, colors = scene
+    model = TetraNerf(_small_config(), mesh)
+    params = model.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    rng = np.random.default_rng(3)
+    o, d = sample_sphere_rays(rng, 64)
+    # Include a guaranteed miss ray.
+    o[0] = [3.0, 0, 0]
+    d[0] = [1.0, 0, 0]
+    out = model.get_outputs(
+        params, RayBundle(jnp.asarray(o), jnp.asarray(d)), rng=jax.random.PRNGKey(1), train=True
+    )
+    assert out["rgb"].shape == (64, 3)
+    assert out["accumulation"].shape == (64, 1)
+    assert out["depth"].shape == (64, 1)
+    rgb = np.asarray(out["rgb"])
+    mask = np.asarray(out["ray_mask"])
+    assert not mask[0]
+    np.testing.assert_allclose(rgb[0], [1.0, 1.0, 1.0])  # white background
+    assert np.isfinite(rgb).all()
+    assert mask[1:].mean() > 0.9
+    acc = np.asarray(out["accumulation"])
+    assert (acc >= 0).all() and (acc <= 1 + 1e-5).all()
+
+
+def test_forward_jit_and_grad(scene):
+    mesh, colors = scene
+    model = TetraNerf(_small_config(num_fine_samples=0), mesh)
+    params = model.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    rng = np.random.default_rng(4)
+    o, d = sample_sphere_rays(rng, 32)
+    target = jnp.asarray(sphere_ray_targets(o, d))
+
+    @jax.jit
+    def loss_fn(p, key):
+        out = model.get_outputs(
+            p, RayBundle(jnp.asarray(o), jnp.asarray(d)), rng=key, train=True
+        )
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    key = jax.random.PRNGKey(5)
+    loss, grads = jax.value_and_grad(loss_fn)(params, key)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert gnorm > 0
+
+
+def test_appearance_embedding(scene):
+    mesh, colors = scene
+    model = TetraNerf(
+        _small_config(appearance_embed_dim=8, num_fine_samples=0),
+        mesh,
+        num_train_images=4,
+    )
+    params = model.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    assert params["appearance_embedding"].shape == (4, 8)
+    rng = np.random.default_rng(6)
+    o, d = sample_sphere_rays(rng, 16)
+    cam = jnp.asarray(np.arange(16) % 4, jnp.int32)
+    out = model.get_outputs(
+        params,
+        RayBundle(jnp.asarray(o), jnp.asarray(d), camera_indices=cam),
+        rng=jax.random.PRNGKey(1),
+        train=True,
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_training_reduces_loss(scene):
+    # RAdam's variance rectification makes the first ~20 steps tiny, so
+    # overfitting a fixed batch needs a higher lr + a few hundred steps.
+    mesh, colors = scene
+    config = tetranerf_preset(learning_rate=1e-2, learning_rate_final=1e-2)
+    config.model = _small_config()
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 256)
+    batch = {
+        "origins": o,
+        "directions": d,
+        "rgb": sphere_ray_targets(o, d),
+    }
+    first = float(trainer.train_step(batch)["loss"])
+    for _ in range(250):
+        metrics = trainer.train_step(batch)
+    last = float(metrics["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.25, (first, last)
+
+
+def test_trainer_checkpoint_roundtrip(scene, tmp_path):
+    mesh, colors = scene
+    config = tetranerf_preset(output_dir=str(tmp_path))
+    config.model = _small_config(num_fine_samples=0)
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(8)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    trainer.train_step(batch)
+    path = str(tmp_path / "ckpt-1")
+    trainer.save_checkpoint(path)
+    field_before = np.asarray(trainer.state.params["tetrahedra_field"])
+    step_before = int(trainer.state.step)
+    trainer.train_step(batch)  # mutate
+    trainer.restore_checkpoint(path)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["tetrahedra_field"]), field_before
+    )
+    assert int(trainer.state.step) == step_before
+
+
+def test_reference_state_dict_layout(scene):
+    from tetranerf_tpu.training.checkpoints import (
+        load_reference_state_dict,
+        reference_state_dict,
+    )
+
+    mesh, colors = scene
+    model = TetraNerf(_small_config(), mesh)
+    params = model.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    sd = reference_state_dict(params)
+    # Reference stores the field [F, V] (model.py:249-255).
+    assert sd["tetrahedra_field"].shape == (16, mesh.num_vertices)
+    assert sd["mlp_base.layers.0.weight"].shape == (32, 16)
+    back = load_reference_state_dict(params, sd)
+    np.testing.assert_allclose(
+        np.asarray(back["tetrahedra_field"]),
+        np.asarray(params["tetrahedra_field"]),
+    )

@@ -1,0 +1,54 @@
+"""Multi-chip scaling via ``jax.sharding`` — the DDP replacement.
+
+The reference's only distribution strategy is torch
+``DistributedDataParallel`` over NCCL (``tetranerf/nerfstudio/
+pipeline.py:52-58``): each rank traces its own ray batch and gradients are
+all-reduced. The TPU-native equivalent needs no communication code at all:
+
+- rays (the batch axis) are sharded over the ``"data"`` mesh axis;
+- parameters and the tetrahedra mesh tables are replicated;
+- the jitted train step's mean-loss gradient induces the ``psum`` over ICI
+  automatically through GSPMD partitioning.
+
+On a multi-host pod the same code runs under ``jax.distributed`` with a
+per-host input pipeline feeding each host's addressable shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis_name: str = "data",
+) -> Mesh:
+    """1-D data-parallel device mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Sharding for per-ray batch arrays: leading axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Replicated sharding (parameters, mesh tables, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a pytree of batch arrays with the leading axis sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

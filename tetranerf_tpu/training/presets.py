@@ -1,0 +1,70 @@
+"""Training presets mirroring the reference's method registrations
+(``tetranerf/nerfstudio/registration.py:20-67``).
+
+``tetra-nerf-original`` is the paper configuration (256 uniform + 256 PDF
+samples, no gradient scaling); ``tetra-nerf`` is the improved default
+(128 biased + 128 PDF samples, gradient scaling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..models.config import TetrahedraNerfConfig
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    method_name: str = "tetra-nerf"
+    model: TetrahedraNerfConfig = dataclasses.field(
+        default_factory=TetrahedraNerfConfig
+    )
+    max_num_iterations: int = 300_000
+    train_num_rays_per_batch: int = 4096
+    eval_num_rays_per_batch: int = 4096
+    steps_per_save: int = 25_000
+    steps_per_eval_batch: int = 1_000
+    steps_per_eval_image: int = 2_000
+    steps_per_eval_all_images: int = 50_000
+    # RAdam lr 1e-3 with exponential decay to 1e-4 over max_steps
+    # (``registration.py:37-45``).
+    learning_rate: float = 1e-3
+    learning_rate_final: float = 1e-4
+    lr_max_steps: int = 300_000
+    seed: int = 42
+    output_dir: Optional[str] = None
+    # TPU additions
+    num_data_shards: Optional[int] = None  # None = all local devices
+
+
+def tetranerf_original_preset(**overrides) -> TrainConfig:
+    cfg = TrainConfig(
+        method_name="tetra-nerf-original",
+        model=TetrahedraNerfConfig(
+            num_samples=256,
+            num_fine_samples=256,
+            use_biased_sampler=False,
+            use_gradient_scaling=False,
+        ),
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def tetranerf_preset(**overrides) -> TrainConfig:
+    cfg = TrainConfig(
+        method_name="tetra-nerf",
+        model=TetrahedraNerfConfig(
+            num_samples=128,
+            num_fine_samples=128,
+            use_biased_sampler=True,
+            use_gradient_scaling=True,
+        ),
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+METHODS = {
+    "tetra-nerf": tetranerf_preset,
+    "tetra-nerf-original": tetranerf_original_preset,
+}

@@ -1,0 +1,232 @@
+"""Training loop: optimizer, jitted train step, checkpointing.
+
+Replaces the nerfstudio ``Trainer`` + ``VanillaPipeline`` layers the
+reference delegates to (SURVEY L0; ``registration.py:20-46``):
+RAdam with exponential lr decay 1e-3 → 1e-4 over 300k steps, MSE loss,
+periodic checkpoints. The whole step — traversal, sampling, MLPs,
+rendering, backward, optimizer — compiles into one XLA program with no
+host synchronization (the reference syncs the device on every tracer
+call, ``src/tetrahedra_tracer.cpp:173-174``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.tetra_nerf import RayBundle, TetraNerf
+from ..parallel.sharding import batch_sharding, make_mesh, replicate
+from .presets import TrainConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # i32 scalar
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """RAdam + exponential decay (``registration.py:37-45``)."""
+    schedule = optax.exponential_decay(
+        init_value=config.learning_rate,
+        transition_steps=config.lr_max_steps,
+        decay_rate=config.learning_rate_final / config.learning_rate,
+    )
+    return optax.radam(learning_rate=schedule)
+
+
+def make_train_step(
+    model: TetraNerf, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Build the (un-jitted) functional train step."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            rays = RayBundle(
+                origins=batch["origins"],
+                directions=batch["directions"],
+                camera_indices=batch.get("camera_indices"),
+            )
+            outputs = model.get_outputs(params, rays, rng=rng, train=True)
+            loss = jnp.mean(jnp.square(outputs["rgb"] - batch["rgb"]))
+            return loss, outputs
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(loss + 1e-12)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: TetraNerf) -> Callable:
+    def eval_step(params, batch):
+        rays = RayBundle(
+            origins=batch["origins"],
+            directions=batch["directions"],
+            camera_indices=batch.get("camera_indices"),
+        )
+        return model.get_outputs(params, rays, rng=None, train=False)
+
+    return eval_step
+
+
+class Trainer:
+    """Single- or multi-chip trainer.
+
+    Rays are sharded over the device mesh's ``data`` axis; parameters are
+    replicated; GSPMD inserts the gradient all-reduce (see
+    ``tetranerf_tpu.parallel``).
+    """
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        model: TetraNerf,
+        *,
+        point_colors: Optional[np.ndarray] = None,
+        mesh_devices: Optional[int] = None,
+    ):
+        self.config = config
+        self.model = model
+        self.device_mesh = make_mesh(
+            num_devices=mesh_devices or config.num_data_shards
+        )
+        self.optimizer = make_optimizer(config)
+        key = jax.random.PRNGKey(config.seed)
+        self.init_key, self.train_key = jax.random.split(key)
+        params = model.init_params(self.init_key, point_colors=point_colors)
+        opt_state = self.optimizer.init(params)
+        rep = replicate(self.device_mesh)
+        self.state = jax.device_put(
+            TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)),
+            rep,
+        )
+        bsh = batch_sharding(self.device_mesh)
+        self._train_step = jax.jit(
+            make_train_step(model, self.optimizer),
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        # Bound the async dispatch queue: with no host sync at all, XLA's
+        # multi-device CPU client aborts once too many collective-bearing
+        # steps are in flight. A depth of 4 keeps full pipelining.
+        self._pending = []
+        self._max_in_flight = 4
+        self._eval_step = jax.jit(
+            make_eval_step(model), in_shardings=(rep, bsh), out_shardings=bsh
+        )
+        self._batch_sharding = bsh
+
+    def train_step(self, batch: Dict[str, np.ndarray]):
+        batch = {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in batch.items()
+        }
+        self.state, metrics = self._train_step(
+            self.state, batch, self.train_key
+        )
+        self._pending.append(metrics["loss"])
+        if len(self._pending) > self._max_in_flight:
+            jax.block_until_ready(self._pending.pop(0))
+        return metrics
+
+    def eval_batch(self, batch: Dict[str, np.ndarray]):
+        batch = {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in batch.items()
+            if k in ("origins", "directions", "camera_indices")
+        }
+        return self._eval_step(self.state.params, batch)
+
+    def render_rays(self, origins, directions, chunk: int = 8192):
+        """Render arbitrary ray sets in fixed-size chunks (eval/viewer path;
+        pads the tail chunk to keep shapes static)."""
+        num = len(origins)
+        outs = []
+        for i in range(0, num, chunk):
+            o = np.asarray(origins[i : i + chunk], np.float32)
+            d = np.asarray(directions[i : i + chunk], np.float32)
+            pad = chunk - len(o)
+            if pad:
+                o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+                d = np.concatenate(
+                    [d, np.tile(np.float32([0, 0, 1]), (pad, 1))]
+                )
+            out = self.eval_batch({"origins": o, "directions": d})
+            outs.append(
+                {k: np.asarray(v)[: chunk - pad] for k, v in out.items()}
+            )
+        return {
+            k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, path: str):
+        from .checkpoints import save_checkpoint
+
+        save_checkpoint(path, self.state, self.config)
+
+    def restore_checkpoint(self, path: str):
+        from .checkpoints import restore_checkpoint
+
+        self.state = restore_checkpoint(path, self.state)
+
+    # ------------------------------------------------------------------ loop
+    def fit(
+        self,
+        next_batch: Callable[[int], Dict[str, np.ndarray]],
+        num_iterations: Optional[int] = None,
+        log_every: int = 100,
+        log_fn=print,
+    ):
+        num_iterations = num_iterations or self.config.max_num_iterations
+        t0 = time.perf_counter()
+        rays_per_batch = None
+        for i in range(num_iterations):
+            batch = next_batch(i)
+            if rays_per_batch is None:
+                rays_per_batch = len(batch["origins"])
+            metrics = self.train_step(batch)
+            if log_every and (i + 1) % log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                rate = (i + 1) * rays_per_batch / dt
+                log_fn(
+                    f"step {i + 1}/{num_iterations} "
+                    f"loss={metrics['loss']:.5f} psnr={metrics['psnr']:.2f} "
+                    f"rays/s={rate:,.0f}"
+                )
+            if (
+                self.config.output_dir
+                and self.config.steps_per_save
+                and (i + 1) % self.config.steps_per_save == 0
+            ):
+                ckpt = os.path.join(
+                    self.config.output_dir, f"step-{i + 1:09d}"
+                )
+                self.save_checkpoint(ckpt)
+        return self.state
