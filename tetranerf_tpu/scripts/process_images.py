@@ -1,0 +1,76 @@
+"""COLMAP-from-images preprocessing CLI.
+
+Equivalent of ``python -m tetranerf.scripts.process_images``: run the
+COLMAP SfM pipeline on a directory of images, normalize poses, export the
+minimal ``{train,val,test}.npz`` splits (every 8th image held out) and a
+``sparse.ply`` point cloud (optionally dense) ready for
+``tetranerf-triangulate``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..training.datasets import normalize_poses
+from ..utils import colmap as cm
+from . import common
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="tetranerf-process-images")
+    parser.add_argument("--images", required=True, help="input image dir")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--dense", action="store_true",
+                        help="also build a dense point cloud (slow)")
+    parser.add_argument("--eval-interval", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    images_dir = Path(args.images)
+    output = Path(args.output)
+    output.mkdir(parents=True, exist_ok=True)
+
+    sparse_model = common.colmap_sfm(
+        images_dir, output / "colmap", dense=args.dense
+    )
+    cameras, images_meta, points = cm.read_model(sparse_model)
+
+    ordered = sorted(images_meta.values(), key=lambda im: im.name)
+    c2ws, names = [], []
+    for im in ordered:
+        c2w = im.camera_to_world()
+        c2w[:3, 1:3] *= -1  # OpenCV -> OpenGL
+        c2ws.append(c2w)
+        names.append(str(images_dir / im.name))
+    poses, transform, scale = normalize_poses(np.stack(c2ws))
+
+    cam = cameras[ordered[0].camera_id]
+    intr = cm.camera_intrinsics(cam)
+    common.export_minimal_npz(
+        output,
+        names,
+        poses[:, :3, :4],
+        intr,
+        cam.width,
+        cam.height,
+        eval_interval=args.eval_interval,
+        applied_transform=transform,
+        applied_scale=scale,
+    )
+    common.export_points_ply(points, output / "sparse.ply")
+    if args.dense:
+        fused = output / "colmap" / "dense" / "fused.ply"
+        if fused.exists():
+            print(f"dense cloud at {fused}", file=sys.stderr)
+    print("done", file=sys.stderr)
+
+
+def entrypoint():
+    main()
+
+
+if __name__ == "__main__":
+    main()

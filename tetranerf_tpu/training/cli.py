@@ -1,0 +1,156 @@
+"""Training CLI — the ``ns-train tetra-nerf`` equivalent.
+
+Usage::
+
+    tetranerf-train --method tetra-nerf --data <dir> \
+        [--tetrahedra-path tetra.th] [--output-dir out] [...]
+
+Mirrors the reference's entry flow (SURVEY §3.1): dataset loading, mesh
+initialization from a tetrahedra file (with dataparser transform/scale
+applied to the vertices, ``model.py:349-392``) or from the dataset's 3D
+points (in-process Delaunay, ``model.py:302-347``), then the training
+loop with periodic eval and checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_mesh_for_dataset(dataset, tetrahedra_path=None):
+    """Mesh + vertex colors from a ``.th`` file or the dataset's points."""
+    from ..geometry import build_mesh, load_tetrahedra
+    from .datasets import apply_transform
+
+    if tetrahedra_path is not None:
+        data = load_tetrahedra(tetrahedra_path)
+        vertices = apply_transform(
+            data["vertices"],
+            dataset.dataparser_transform,
+            dataset.dataparser_scale,
+        )
+        mesh = build_mesh(vertices, data["cells"])
+        return mesh, data.get("colors")
+    if dataset.points3d_xyz is None:
+        raise SystemExit(
+            "dataset provides no 3D points; pass --tetrahedra-path"
+        )
+    mesh = build_mesh(dataset.points3d_xyz)
+    colors = dataset.points3d_rgb
+    return mesh, colors
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="tetranerf-train", description=__doc__
+    )
+    parser.add_argument("--method", default="tetra-nerf",
+                        choices=["tetra-nerf", "tetra-nerf-original"])
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--tetrahedra-path", default=None)
+    parser.add_argument("--output-dir", default="outputs/tetra-nerf")
+    parser.add_argument("--max-num-iterations", type=int, default=None)
+    parser.add_argument("--rays-per-batch", type=int, default=None)
+    parser.add_argument("--downscale", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--eval-interval-images", type=int, default=2000)
+    parser.add_argument("--load-checkpoint", default=None)
+    # Model overrides (subset of TetrahedraNerfConfig).
+    parser.add_argument("--num-samples", type=int, default=None)
+    parser.add_argument("--num-fine-samples", type=int, default=None)
+    parser.add_argument("--max-intersected-triangles", type=int, default=None)
+    parser.add_argument("--field-dim", type=int, default=None)
+    parser.add_argument("--background-color", default=None)
+    args = parser.parse_args(argv)
+
+    from ..models import TetraNerf
+    from .datasets import load_dataset
+    from .metrics import compute_image_metrics
+    from .presets import METHODS
+    from .trainer import Trainer
+
+    config = METHODS[args.method](seed=args.seed, output_dir=args.output_dir)
+    if args.max_num_iterations:
+        config.max_num_iterations = args.max_num_iterations
+    if args.rays_per_batch:
+        config.train_num_rays_per_batch = args.rays_per_batch
+    for field in (
+        "num_samples",
+        "num_fine_samples",
+        "max_intersected_triangles",
+        "field_dim",
+        "background_color",
+    ):
+        v = getattr(args, field)
+        if v is not None:
+            setattr(config.model, field, v)
+
+    print(f"loading dataset from {args.data} ...", file=sys.stderr)
+    kwargs = {"downscale": args.downscale} if args.downscale != 1 else {}
+    train_ds = load_dataset(args.data, "train", **kwargs)
+    try:
+        eval_ds = load_dataset(args.data, "test", **kwargs)
+    except Exception:
+        eval_ds = train_ds
+    print(
+        f"  {train_ds.num_images} train images "
+        f"{train_ds.width}x{train_ds.height}",
+        file=sys.stderr,
+    )
+
+    mesh, colors = build_mesh_for_dataset(train_ds, args.tetrahedra_path)
+    print(
+        f"  mesh: {mesh.num_vertices} vertices, {mesh.num_cells} cells",
+        file=sys.stderr,
+    )
+
+    model = TetraNerf(
+        config.model, mesh, num_train_images=train_ds.num_images
+    )
+    trainer = Trainer(config, model, point_colors=colors)
+    if args.load_checkpoint:
+        trainer.restore_checkpoint(args.load_checkpoint)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    batch_size = config.train_num_rays_per_batch
+
+    def next_batch(_):
+        return train_ds.sample_ray_batch(rng, batch_size)
+
+    def log_fn(msg):
+        print(msg, file=sys.stderr)
+
+    trainer.fit(next_batch, log_every=100, log_fn=log_fn)
+
+    # Final eval over the held-out split.
+    metrics_acc = []
+    for i in range(min(eval_ds.num_images, 8)):
+        o, d = eval_ds.camera_rays(i)
+        out = trainer.render_rays(o, d)
+        pred = out["rgb"].reshape(eval_ds.height, eval_ds.width, 3)
+        metrics_acc.append(
+            compute_image_metrics(pred, eval_ds.images[i])
+        )
+    mean_metrics = {
+        k: float(np.mean([m[k] for m in metrics_acc]))
+        for k in metrics_acc[0]
+    }
+    print(json.dumps(mean_metrics))
+    with open(os.path.join(args.output_dir, "eval_metrics.json"), "w") as f:
+        json.dump(mean_metrics, f, indent=2)
+    trainer.save_checkpoint(os.path.join(args.output_dir, "final"))
+
+
+def entrypoint():
+    main()
+
+
+if __name__ == "__main__":
+    main()
