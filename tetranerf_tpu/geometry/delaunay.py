@@ -54,8 +54,18 @@ def find_average_spacing(points: np.ndarray, num_neighbors: int = 6) -> float:
     Same contract as CGAL ``compute_average_spacing`` used by the reference
     (``src/triangulation.cpp:121-134``): for every point, average the
     distances to its ``num_neighbors`` nearest neighbors (excluding
-    itself), then average over points.
+    itself), then average over points. Uses the native grid-kNN when
+    ``csrc/libtetra_geom.so`` is built, else a KD-tree.
     """
+    try:
+        from . import native
+
+        if native.available():
+            return native.average_spacing(
+                np.ascontiguousarray(points, np.float32), num_neighbors
+            )
+    except Exception:
+        pass
     from scipy.spatial import cKDTree
 
     points = np.ascontiguousarray(points, dtype=np.float64)
