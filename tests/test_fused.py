@@ -30,9 +30,10 @@ def _rays(rng, n):
     return o.astype(np.float32), d.astype(np.float32)
 
 
-def test_fused_intervals_match_modular(ball_mesh, rng):
+@pytest.mark.parametrize("hops", [1, 2])
+def test_fused_intervals_match_modular(ball_mesh, rng, hops):
     o, d = _rays(rng, 32)
-    fused = march_features(ball_mesh, None, o, d, max_steps=128)
+    fused = march_features(ball_mesh, None, o, d, max_steps=128, hops=hops)
     modular = march(ball_mesh, o, d, max_steps=128)
     np.testing.assert_array_equal(
         np.asarray(fused.num_valid), np.asarray(modular.num_cells)
@@ -46,6 +47,21 @@ def test_fused_intervals_match_modular(ball_mesh, rng):
         np.testing.assert_array_equal(
             np.asarray(fused.cells[r, :n]), np.asarray(modular.cells[r, :n])
         )
+
+
+def test_two_hop_features_match_one_hop(ball_mesh, rng):
+    o, d = _rays(rng, 16)
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 8)).astype(np.float32)
+    )
+    f1 = march_features(ball_mesh, field, o, d, max_steps=128, hops=1)
+    f2 = march_features(ball_mesh, field, o, d, max_steps=128, hops=2)
+    np.testing.assert_array_equal(
+        np.asarray(f1.num_valid), np.asarray(f2.num_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1.feats), np.asarray(f2.feats), atol=1e-5
+    )
 
 
 def test_fused_features_match_interpolation(ball_mesh, rng):

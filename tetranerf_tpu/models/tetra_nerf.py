@@ -199,7 +199,12 @@ class TetraNerf:
         rays: RayBundle,
         rng: Optional[jax.Array] = None,
         train: bool = False,
+        mesh: Optional[TetrahedraMesh] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """Forward pass. Pass ``mesh`` explicitly inside jitted functions:
+        a closed-over mesh becomes an HLO constant, embedding hundreds of
+        MB of tables into every compiled executable."""
+        mesh = mesh if mesh is not None else self.mesh
         cfg = self.config
         origins = jnp.asarray(rays.origins)
         directions = jnp.asarray(rays.directions)
@@ -215,11 +220,12 @@ class TetraNerf:
         # reference re-runs find_visited_cells + interpolate per round,
         # ``model.py:560-600``).
         res = march_features(
-            self.mesh,
+            mesh,
             params["tetrahedra_field"],
             origins,
             directions,
             cfg.max_intersected_triangles,
+            hops=cfg.traversal_hops,
         )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 

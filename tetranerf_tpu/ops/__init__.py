@@ -13,6 +13,7 @@ from .interpolation import (
     scatter_ema_uint32,
 )
 from .barycentric import add_barycentrics_grad, barycentric_coordinates
+from .parity import find_tetrahedra, trace_rays_triangles, update_occupancy
 from .sampling import (
     biased_warp,
     pdf_sample,
@@ -44,6 +45,9 @@ __all__ = [
     "scatter_ema_uint32",
     "add_barycentrics_grad",
     "barycentric_coordinates",
+    "find_tetrahedra",
+    "trace_rays_triangles",
+    "update_occupancy",
     "biased_warp",
     "pdf_sample",
     "stratified_bins",

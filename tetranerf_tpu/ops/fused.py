@@ -60,6 +60,7 @@ class FusedMarch(NamedTuple):
 
 
 def _unpack_row(row):
+    """Split a packed (possibly padded) traversal row into its fields."""
     planes = row[..., :16].reshape(*row.shape[:-1], 4, 4)
     neighbors = jax.lax.bitcast_convert_type(row[..., 16:20], jnp.int32)
     vertex_ids = jax.lax.bitcast_convert_type(row[..., 20:24], jnp.int32)
@@ -73,13 +74,19 @@ def march_features(
     directions,
     max_steps: int = 512,
     entry_walk_steps: int = 16,
+    hops: int = 2,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
-    ``field`` is ``f32[V, F]`` (or None to skip feature emission). See the
-    module docstring for the design; geometry logic matches
-    :func:`tetranerf_tpu.ops.traversal.march` (same slab + walk entry, same
-    locally-conditioned crossing computation).
+    ``field`` is ``f32[V, F]`` (or None to skip feature emission).
+    Geometry logic matches :func:`tetranerf_tpu.ops.traversal.march` (same
+    slab + walk entry, same locally-conditioned crossing computation).
+
+    ``hops=2`` uses the two-hop packed table (``mesh.march_table2``): TPU
+    gather throughput is limited by row *count*, so fetching a cell
+    together with its neighbors' rows advances two cells per sequential
+    gather, halving the traversal's critical path. ``hops=1`` fetches one
+    24-float row per step.
     """
     origins = jnp.asarray(origins)
     directions = jnp.asarray(directions)
@@ -93,9 +100,8 @@ def march_features(
     entry_cell = _walk(mesh, seed, p_entry, entry_walk_steps)
     hit = hit & (entry_cell >= 0)
 
-    table = mesh.march_table
-
     def crossings(row, t):
+        """Face-crossing distances from position t given a packed row."""
         planes_c, neighbors, vertex_ids = _unpack_row(row)
         p = origins + t[:, None] * directions
         b = _eval_planes(planes_c, p)
@@ -103,8 +109,17 @@ def march_features(
         t_cross = t[:, None] - b / jnp.where(den == 0.0, jnp.inf, den)
         return b, den, t_cross, neighbors, vertex_ids
 
+    def exit_face(b, den, t_cross, t):
+        t_k = jnp.where(den < 0.0, t_cross, jnp.inf)
+        k_exit = jnp.argmin(t_k, axis=-1)
+        t_exit_raw = jnp.min(t_k, axis=-1)
+        found = jnp.isfinite(t_exit_raw)
+        t_exit = jnp.maximum(t_exit_raw, t)  # monotonic despite roundoff
+        bary_exit = b + (t_exit - t)[:, None] * den  # affine along the ray
+        return k_exit, t_exit, found, bary_exit
+
     c0_safe = jnp.maximum(entry_cell, 0)
-    row0 = table[c0_safe]
+    row0 = mesh.march_table[c0_safe]
     b0, den0, t_cross0, _, vids0 = crossings(row0, t_in + eps_t)
     t_entry = jnp.max(jnp.where(den0 > 0.0, t_cross0, -jnp.inf), axis=-1)
     t_entry = jnp.where(jnp.isfinite(t_entry), t_entry, t_in)
@@ -117,47 +132,97 @@ def march_features(
         )
         feat_entry = jnp.where(hit[:, None], feat_entry, 0.0)
 
-    def step(state, _):
-        c, t, done = state
-        c_safe = jnp.maximum(c, 0)
-        row = table[c_safe]
+    def hop(c, t, done, row):
+        """One marching hop given the cell's packed 24-float row."""
         b, den, t_cross, neighbors, vertex_ids = crossings(row, t)
-        t_k = jnp.where(den < 0.0, t_cross, jnp.inf)
-        k_exit = jnp.argmin(t_k, axis=-1)
-        t_exit_raw = jnp.min(t_k, axis=-1)
-        found = jnp.isfinite(t_exit_raw)
-        t_exit = jnp.maximum(t_exit_raw, t)
+        k_exit, t_exit, found, bary_exit = exit_face(b, den, t_cross, t)
         nxt = jnp.take_along_axis(neighbors, k_exit[:, None], axis=1)[:, 0]
         valid = ~done & found & (c >= 0)
-        if field is not None:
-            bary_exit = b + (t_exit - t)[:, None] * den  # affine along ray
-            gathered = field[jnp.maximum(vertex_ids, 0)]  # [R, 4, F]
-            feat = jnp.sum(bary_exit[..., None] * gathered, axis=-2)
-            feat = jnp.where(valid[:, None], feat, 0.0)
-        else:
-            feat = jnp.zeros((num_rays, 0), field.dtype if field is not None else jnp.float32)
-        emit = (
-            jnp.where(valid, c, -1),
-            jnp.where(valid, t_exit, jnp.inf),
-            feat,
-        )
         new_done = done | ~found | (nxt < 0) | (t_exit >= t_cap)
-        new_state = (
-            jnp.where(valid, nxt, c),
-            jnp.where(valid, t_exit, t),
-            new_done,
+        emit_cell = jnp.where(valid, c, -1)
+        emit_t = jnp.where(valid, t_exit, jnp.inf)
+        new_c = jnp.where(valid, nxt, c)
+        new_t = jnp.where(valid, t_exit, t)
+        return (new_c, new_t, new_done), (
+            emit_cell,
+            emit_t,
+            k_exit,
+            valid,
+            bary_exit,
+            vertex_ids,
         )
-        return new_state, emit
 
-    init = (entry_cell, t_entry, ~hit)
-    _, (cells, t1s, feats) = jax.lax.scan(step, init, None, length=max_steps)
-    cells = cells.T
-    t1s = t1s.T
+    def feat_of(valid, bary_exit, vertex_ids):
+        gathered = field[jnp.maximum(vertex_ids, 0)]  # [R, 4, F]
+        feat = jnp.sum(bary_exit[..., None] * gathered, axis=-2)
+        return jnp.where(valid[:, None], feat, 0.0)
+
+    if hops == 2:
+        table2 = mesh.march_table2
+        num_iters = -(-max_steps // 2)
+
+        def step(state, _):
+            c, t, done = state
+            row2 = table2[jnp.maximum(c, 0)][:, :120].reshape(
+                num_rays, 5, 24
+            )
+            (cB, tB, doneB), emitA = hop(c, t, done, row2[:, 0])
+            # Neighbor block chosen by hop A's exit face.
+            k1 = emitA[2]
+            rowB = jnp.take_along_axis(
+                row2[:, 1:], k1[:, None, None], axis=1
+            )[:, 0]
+            (cC, tC, doneC), emitB = hop(cB, tB, doneB, rowB)
+            if field is not None:
+                featA = feat_of(emitA[3], emitA[4], emitA[5])
+                featB = feat_of(emitB[3], emitB[4], emitB[5])
+                feats = jnp.stack([featA, featB], axis=1)  # [R, 2, F]
+            else:
+                feats = jnp.zeros((num_rays, 2, 0), jnp.float32)
+            emit = (
+                jnp.stack([emitA[0], emitB[0]], axis=1),  # [R, 2]
+                jnp.stack([emitA[1], emitB[1]], axis=1),
+                feats,
+            )
+            return (cC, tC, doneC), emit
+
+        init = (entry_cell, t_entry, ~hit)
+        _, (cells, t1s, feats) = jax.lax.scan(
+            step, init, None, length=num_iters
+        )
+        # [I, R, 2, ...] -> [R, I*2, ...]
+        cells = jnp.moveaxis(cells, 0, 1).reshape(num_rays, num_iters * 2)
+        t1s = jnp.moveaxis(t1s, 0, 1).reshape(num_rays, num_iters * 2)
+        if field is not None:
+            feats = jnp.moveaxis(feats, 0, 1).reshape(
+                num_rays, num_iters * 2, -1
+            )
+    else:
+        table = mesh.march_table
+
+        def step(state, _):
+            c, t, done = state
+            row = table[jnp.maximum(c, 0)]
+            new_state, emitted = hop(c, t, done, row)
+            if field is not None:
+                feat = feat_of(emitted[3], emitted[4], emitted[5])
+            else:
+                feat = jnp.zeros((num_rays, 0), jnp.float32)
+            return new_state, (emitted[0], emitted[1], feat)
+
+        init = (entry_cell, t_entry, ~hit)
+        _, (cells, t1s, feats) = jax.lax.scan(
+            step, init, None, length=max_steps
+        )
+        cells = cells.T
+        t1s = t1s.T
+        if field is not None:
+            feats = jnp.moveaxis(feats, 0, 1)  # [R, T, F]
+
     valid = cells >= 0
     num_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
     hit = hit & (num_valid > 0)
     if field is not None:
-        feats = jnp.moveaxis(feats, 0, 1)  # [R, T, F]
         feats = jnp.concatenate([feat_entry[:, None, :], feats], axis=1)
     else:
         feats = None

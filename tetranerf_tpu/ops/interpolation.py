@@ -95,7 +95,9 @@ def scatter_ema_uint32(target, indices, values, decay: float):
     valid = _valid_mask(indices) & (
         indices.astype(jnp.uint32) < jnp.uint32(target.shape[0])
     )
-    safe = jnp.where(valid, indices, 0).astype(jnp.int32)
-    updated = decay * target[safe] + (1.0 - decay) * values
-    updated = jnp.where(valid, updated, target[safe])
-    return target.at[safe].set(updated, mode="drop")
+    read = jnp.where(valid, indices, 0).astype(jnp.int32)
+    updated = decay * target[read] + (1.0 - decay) * values
+    # Invalid entries scatter to an out-of-bounds slot and are dropped
+    # (clamping them to 0 would clobber index 0).
+    write = jnp.where(valid, read, target.shape[0]).astype(jnp.int32)
+    return target.at[write].set(updated, mode="drop")

@@ -52,7 +52,7 @@ def make_train_step(
 ) -> Callable:
     """Build the (un-jitted) functional train step."""
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng, mesh):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -61,7 +61,9 @@ def make_train_step(
                 directions=batch["directions"],
                 camera_indices=batch.get("camera_indices"),
             )
-            outputs = model.get_outputs(params, rays, rng=rng, train=True)
+            outputs = model.get_outputs(
+                params, rays, rng=rng, train=True, mesh=mesh
+            )
             loss = jnp.mean(jnp.square(outputs["rgb"] - batch["rgb"]))
             return loss, outputs
 
@@ -82,13 +84,13 @@ def make_train_step(
 
 
 def make_eval_step(model: TetraNerf) -> Callable:
-    def eval_step(params, batch):
+    def eval_step(params, batch, mesh):
         rays = RayBundle(
             origins=batch["origins"],
             directions=batch["directions"],
             camera_indices=batch.get("camera_indices"),
         )
-        return model.get_outputs(params, rays, rng=None, train=False)
+        return model.get_outputs(params, rays, rng=None, train=False, mesh=mesh)
 
     return eval_step
 
@@ -108,9 +110,12 @@ class Trainer:
         *,
         point_colors: Optional[np.ndarray] = None,
         mesh_devices: Optional[int] = None,
+        auto_tune_steps: bool = True,
     ):
         self.config = config
         self.model = model
+        self._auto_tune_steps = auto_tune_steps
+        self._tuned = False
         self.device_mesh = make_mesh(
             num_devices=mesh_devices or config.num_data_shards
         )
@@ -124,10 +129,14 @@ class Trainer:
             TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)),
             rep,
         )
+        # The tetrahedra mesh tables are jit *arguments* (replicated), not
+        # closed-over constants — constants would be embedded per
+        # executable (hundreds of MB of HLO).
+        self.mesh_tables = jax.device_put(model.mesh, rep)
         bsh = batch_sharding(self.device_mesh)
         self._train_step = jax.jit(
             make_train_step(model, self.optimizer),
-            in_shardings=(rep, bsh, rep),
+            in_shardings=(rep, bsh, rep, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
@@ -137,17 +146,56 @@ class Trainer:
         self._pending = []
         self._max_in_flight = 4
         self._eval_step = jax.jit(
-            make_eval_step(model), in_shardings=(rep, bsh), out_shardings=bsh
+            make_eval_step(model),
+            in_shardings=(rep, bsh, rep),
+            out_shardings=bsh,
         )
         self._batch_sharding = bsh
 
+    def tune_traversal_steps(self, batch: Dict[str, np.ndarray]) -> int:
+        """Shrink the traversal step bound to the scene's actual needs.
+
+        The configured ``max_intersected_triangles`` (default 512,
+        reference ``model.py:77``) is a worst-case cap; most scenes cross
+        far fewer cells. A one-off geometry-only probe measures the
+        maximum crossing count over a ray batch and tightens the bound
+        (rounded up with margin), shortening the sequential gather chain
+        that dominates the step time.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.fused import march_features
+
+        cfg = self.model.config
+        res = jax.jit(
+            lambda m, o, d: march_features(
+                m, None, o, d, cfg.max_intersected_triangles,
+                hops=cfg.traversal_hops,
+            ).num_valid
+        )(
+            self.mesh_tables,
+            jnp.asarray(batch["origins"][:4096]),
+            jnp.asarray(batch["directions"][:4096]),
+        )
+        max_crossings = int(np.max(np.asarray(res)))
+        tuned = min(
+            cfg.max_intersected_triangles,
+            max(16, int(np.ceil(max_crossings * 1.25 / 16)) * 16),
+        )
+        if tuned < cfg.max_intersected_triangles:
+            cfg.max_intersected_triangles = tuned
+        return cfg.max_intersected_triangles
+
     def train_step(self, batch: Dict[str, np.ndarray]):
+        if self._auto_tune_steps and not self._tuned:
+            self._tuned = True
+            self.tune_traversal_steps(batch)
         batch = {
             k: jax.device_put(v, self._batch_sharding)
             for k, v in batch.items()
         }
         self.state, metrics = self._train_step(
-            self.state, batch, self.train_key
+            self.state, batch, self.train_key, self.mesh_tables
         )
         self._pending.append(metrics["loss"])
         if len(self._pending) > self._max_in_flight:
@@ -160,7 +208,7 @@ class Trainer:
             for k, v in batch.items()
             if k in ("origins", "directions", "camera_indices")
         }
-        return self._eval_step(self.state.params, batch)
+        return self._eval_step(self.state.params, batch, self.mesh_tables)
 
     def render_rays(self, origins, directions, chunk: int = 8192):
         """Render arbitrary ray sets in fixed-size chunks (eval/viewer path;
