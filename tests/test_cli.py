@@ -64,3 +64,23 @@ def test_train_cli_end_to_end(tiny_scene_dir, tmp_path):
     assert "psnr" in metrics and np.isfinite(metrics["psnr"])
     assert "mipnerf_ssim" in metrics
     assert (out_dir / "final" / "train_config.json").exists()
+
+    # Render from the saved checkpoint.
+    from tetranerf_tpu.scripts.render import main as render_main
+
+    render_dir = tmp_path / "renders"
+    render_main(
+        [
+            "--checkpoint", str(out_dir / "final"),
+            "--data", str(tiny_scene_dir),
+            "--tetrahedra-path", str(tiny_scene_dir / "tetra.npz"),
+            "--split", "test",
+            "--output", str(render_dir),
+            "--max-images", "2",
+        ]
+    )
+    assert (render_dir / "test_0000.png").exists()
+    assert (render_dir / "test_0000_depth.png").exists()
+    with open(render_dir / "metrics.json") as f:
+        rm = json.load(f)
+    assert np.isfinite(rm["psnr"]) and rm["render_rays_per_sec"] > 0

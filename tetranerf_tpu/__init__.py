@@ -20,3 +20,20 @@ TPU-first redesign:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (keeps `import tetranerf_tpu` light)."""
+    if name in ("build_mesh", "triangulate", "TetrahedraMesh"):
+        from . import geometry
+
+        return getattr(geometry, name)
+    if name in ("TetraNerf", "TetrahedraNerfConfig", "RayBundle"):
+        from . import models
+
+        return getattr(models, name)
+    if name in ("Trainer", "tetranerf_preset", "tetranerf_original_preset"):
+        from . import training
+
+        return getattr(training, name)
+    raise AttributeError(name)

@@ -132,6 +132,13 @@ class TetraNerf:
             params["appearance_embedding"] = jax.random.normal(
                 keys[5], (self.num_train_images, cfg.appearance_embed_dim)
             )
+        if cfg.use_occupancy_field:
+            # Per-cell occupancy buffer (reference registers it but never
+            # reads it in the forward pass, ``model.py:256-265``); update
+            # it with ``tetranerf_tpu.ops.update_occupancy``.
+            params["tetrahedra_occupancy"] = jnp.zeros(
+                (self.mesh.num_cells,), jnp.float32
+            )
         return params
 
     # --------------------------------------------------------------- helpers
