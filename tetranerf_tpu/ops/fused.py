@@ -125,12 +125,7 @@ def march_features(
     t_entry = jnp.where(jnp.isfinite(t_entry), t_entry, t_in)
     t_cap = t_out + eps_t
 
-    if field is not None:
-        bary_entry = b0 + (t_entry - (t_in + eps_t))[:, None] * den0
-        feat_entry = jnp.sum(
-            bary_entry[..., None] * field[jnp.maximum(vids0, 0)], axis=-2
-        )
-        feat_entry = jnp.where(hit[:, None], feat_entry, 0.0)
+    bary_entry = b0 + (t_entry - (t_in + eps_t))[:, None] * den0
 
     def hop(c, t, done, row):
         """One marching hop given the cell's packed 24-float row."""
@@ -152,11 +147,6 @@ def march_features(
             vertex_ids,
         )
 
-    def feat_of(valid, bary_exit, vertex_ids):
-        gathered = field[jnp.maximum(vertex_ids, 0)]  # [R, 4, F]
-        feat = jnp.sum(bary_exit[..., None] * gathered, axis=-2)
-        return jnp.where(valid[:, None], feat, 0.0)
-
     if hops == 2:
         table2 = mesh.march_table2
         num_iters = -(-max_steps // 2)
@@ -173,57 +163,64 @@ def march_features(
                 row2[:, 1:], k1[:, None, None], axis=1
             )[:, 0]
             (cC, tC, doneC), emitB = hop(cB, tB, doneB, rowB)
-            if field is not None:
-                featA = feat_of(emitA[3], emitA[4], emitA[5])
-                featB = feat_of(emitB[3], emitB[4], emitB[5])
-                feats = jnp.stack([featA, featB], axis=1)  # [R, 2, F]
-            else:
-                feats = jnp.zeros((num_rays, 2, 0), jnp.float32)
-            emit = (
-                jnp.stack([emitA[0], emitB[0]], axis=1),  # [R, 2]
-                jnp.stack([emitA[1], emitB[1]], axis=1),
-                feats,
+            emit = tuple(
+                jnp.stack([a, b], axis=1)
+                for a, b in zip(
+                    (emitA[0], emitA[1], emitA[4], emitA[5]),
+                    (emitB[0], emitB[1], emitB[4], emitB[5]),
+                )
             )
             return (cC, tC, doneC), emit
 
         init = (entry_cell, t_entry, ~hit)
-        _, (cells, t1s, feats) = jax.lax.scan(
+        _, (cells, t1s, barys, vidxs) = jax.lax.scan(
             step, init, None, length=num_iters
         )
         # [I, R, 2, ...] -> [R, I*2, ...]
-        cells = jnp.moveaxis(cells, 0, 1).reshape(num_rays, num_iters * 2)
-        t1s = jnp.moveaxis(t1s, 0, 1).reshape(num_rays, num_iters * 2)
-        if field is not None:
-            feats = jnp.moveaxis(feats, 0, 1).reshape(
-                num_rays, num_iters * 2, -1
-            )
+        total = num_iters * 2
+        cells = jnp.moveaxis(cells, 0, 1).reshape(num_rays, total)
+        t1s = jnp.moveaxis(t1s, 0, 1).reshape(num_rays, total)
+        barys = jnp.moveaxis(barys, 0, 1).reshape(num_rays, total, 4)
+        vidxs = jnp.moveaxis(vidxs, 0, 1).reshape(num_rays, total, 4)
     else:
         table = mesh.march_table
 
         def step(state, _):
             c, t, done = state
             row = table[jnp.maximum(c, 0)]
-            new_state, emitted = hop(c, t, done, row)
-            if field is not None:
-                feat = feat_of(emitted[3], emitted[4], emitted[5])
-            else:
-                feat = jnp.zeros((num_rays, 0), jnp.float32)
-            return new_state, (emitted[0], emitted[1], feat)
+            new_state, e = hop(c, t, done, row)
+            return new_state, (e[0], e[1], e[4], e[5])
 
         init = (entry_cell, t_entry, ~hit)
-        _, (cells, t1s, feats) = jax.lax.scan(
+        _, (cells, t1s, barys, vidxs) = jax.lax.scan(
             step, init, None, length=max_steps
         )
         cells = cells.T
         t1s = t1s.T
-        if field is not None:
-            feats = jnp.moveaxis(feats, 0, 1)  # [R, T, F]
+        barys = jnp.moveaxis(barys, 0, 1)  # [R, T, 4]
+        vidxs = jnp.moveaxis(vidxs, 0, 1)
 
+    # Geometry is not differentiated (the reference likewise optimizes the
+    # field only); stopping gradients here keeps autodiff from replaying
+    # the sequential scan in the backward pass.
+    cells, t1s, barys, vidxs, t_entry = jax.lax.stop_gradient(
+        (cells, t1s, barys, vidxs, t_entry)
+    )
     valid = cells >= 0
     num_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
     hit = hit & (num_valid > 0)
+
     if field is not None:
-        feats = jnp.concatenate([feat_entry[:, None, :], feats], axis=1)
+        # Endpoint features OUTSIDE the scan: one big parallel gather
+        # whose transpose is one scatter-add — no sequential backward.
+        all_bary = jnp.concatenate([bary_entry[:, None], barys], axis=1)
+        all_vidx = jnp.concatenate([vids0[:, None], vidxs], axis=1)
+        all_valid = jnp.concatenate([hit[:, None], valid], axis=1)
+        all_bary = jax.lax.stop_gradient(
+            jnp.where(all_valid[..., None], all_bary, 0.0)
+        )
+        gathered = field[jnp.maximum(all_vidx, 0)]  # [R, T+1, 4, F]
+        feats = jnp.sum(all_bary[..., None] * gathered, axis=-2)
     else:
         feats = None
     return FusedMarch(
