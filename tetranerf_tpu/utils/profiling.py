@@ -1,0 +1,63 @@
+"""Profiling and timing utilities.
+
+The reference has no tracing/profiling subsystem (SURVEY §5.1 — only
+ad-hoc wall clocks in tests). Here:
+
+- :func:`trace` wraps ``jax.profiler`` for TensorBoard-viewable device
+  traces.
+- :func:`benchmark` measures steady-state per-call time of a jitted
+  function the way remote/async dispatch requires: chaining several
+  dispatches per host sync (a single dispatch measures pipeline-idle
+  latency, not throughput — on tunneled devices the difference is 4x+).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace viewable in TensorBoard's profile plugin."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def benchmark(
+    fn: Callable,
+    args_list: Sequence[tuple],
+    warmup: int = 1,
+    repeats: int = 2,
+    host_overhead: float = 0.0,
+) -> float:
+    """Steady-state seconds per call of ``fn`` over a set of argument
+    tuples, pipelining all dispatches between host syncs.
+
+    ``args_list`` should contain several distinct argument tuples (some
+    execution environments memoize identical dispatches).
+    """
+    for _ in range(warmup):
+        outs = [fn(*args) for args in args_list]
+        jax.block_until_ready(outs)
+        _force(outs[-1])
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for args in args_list]
+        _force(outs[-1])
+        dt = (time.perf_counter() - t0 - host_overhead) / len(args_list)
+        best = min(best, dt)
+    return best
+
+
+def _force(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
