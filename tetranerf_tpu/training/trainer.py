@@ -110,6 +110,7 @@ class Trainer:
         *,
         point_colors: Optional[np.ndarray] = None,
         mesh_devices: Optional[int] = None,
+        devices=None,
         auto_tune_steps: bool = True,
     ):
         self.config = config
@@ -117,7 +118,8 @@ class Trainer:
         self._auto_tune_steps = auto_tune_steps
         self._tuned = False
         self.device_mesh = make_mesh(
-            num_devices=mesh_devices or config.num_data_shards
+            num_devices=mesh_devices or config.num_data_shards,
+            devices=devices,
         )
         self.optimizer = make_optimizer(config)
         key = jax.random.PRNGKey(config.seed)
