@@ -52,3 +52,24 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host training (pod slices over DCN).
+
+    Call once per host before any other jax use; returns the process
+    index. With no arguments, autodetects from the TPU environment
+    (``jax.distributed`` reads the runtime metadata). Each host then
+    feeds its addressable shard of every ray batch; the rest of the code
+    is unchanged — GSPMD handles cross-host collectives.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
