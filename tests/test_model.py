@@ -170,3 +170,34 @@ def test_reference_state_dict_layout(scene):
         np.asarray(back["tetrahedra_field"]),
         np.asarray(params["tetrahedra_field"]),
     )
+
+
+def test_original_preset_forward(scene):
+    """The paper config (uniform + PDF sampling, no gradient scaling)
+    must run and produce finite outputs (reference ``tetra-nerf-original``
+    registration)."""
+    from tetranerf_tpu.training import tetranerf_original_preset
+
+    mesh, colors = scene
+    config = tetranerf_original_preset()
+    config.model = _small_config(
+        use_biased_sampler=False, use_gradient_scaling=False
+    )
+    assert config.method_name == "tetra-nerf-original"
+    model = TetraNerf(config.model, mesh)
+    params = model.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    rng = np.random.default_rng(11)
+    from tetranerf_tpu.utils import sample_sphere_rays
+
+    o, d = sample_sphere_rays(rng, 32)
+    out = model.get_outputs(
+        params,
+        RayBundle(jnp.asarray(o), jnp.asarray(d)),
+        rng=jax.random.PRNGKey(3),
+        train=True,
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    # Eval mode (no rng) must be deterministic.
+    e1 = model.get_outputs(params, RayBundle(jnp.asarray(o), jnp.asarray(d)))
+    e2 = model.get_outputs(params, RayBundle(jnp.asarray(o), jnp.asarray(d)))
+    np.testing.assert_array_equal(np.asarray(e1["rgb"]), np.asarray(e2["rgb"]))
