@@ -15,7 +15,7 @@ loop with periodic eval and checkpoints.
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 import json
 import os
 import sys
