@@ -42,7 +42,7 @@ def main():
 
     t0 = time.perf_counter()
     points, colors = make_sphere_scene(args.points, seed=0)
-    mesh = build_mesh(points)
+    mesh = build_mesh(points, two_hop_table=False)
     print(
         f"# mesh: {mesh.num_vertices} vertices, {mesh.num_cells} cells "
         f"(built in {time.perf_counter() - t0:.1f}s) on {jax.devices()[0].platform}",

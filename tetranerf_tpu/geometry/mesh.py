@@ -190,6 +190,7 @@ def build_mesh(
     *,
     neighbors: Optional[np.ndarray] = None,
     dtype=np.float32,
+    two_hop_table: bool = True,
 ) -> TetrahedraMesh:
     """Build the full device mesh structure from vertices (+ optional cells).
 
@@ -252,12 +253,16 @@ def build_mesh(
     march_table[:, :24] = packed
     # Two-hop row: self + the 4 neighbors' rows (boundary -> own row; the
     # marcher checks the neighbor id before using the block), padded to
-    # 128 floats.
-    safe_nbr = np.where(neighbors >= 0, neighbors, 0)
-    march_table2 = np.zeros((len(cells), 128), np.float32)
-    march_table2[:, :120] = np.concatenate(
-        [packed[:, None, :], packed[safe_nbr]], axis=1
-    ).reshape(len(cells), 120)
+    # 128 floats. Optional: measured neutral on v5e at 5x the memory of
+    # march_table, but kept for hardware where gather latency dominates.
+    if two_hop_table:
+        safe_nbr = np.where(neighbors >= 0, neighbors, 0)
+        march_table2 = np.zeros((len(cells), 128), np.float32)
+        march_table2[:, :120] = np.concatenate(
+            [packed[:, None, :], packed[safe_nbr]], axis=1
+        ).reshape(len(cells), 120)
+    else:
+        march_table2 = np.zeros((0, 128), np.float32)
 
     return TetrahedraMesh(
         vertices=jnp.asarray(vertices, dtype=dtype),

@@ -48,10 +48,11 @@ class TetrahedraNerfConfig:
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"
     """MLP compute dtype; parameters stay float32."""
-    traversal_hops: int = 2
-    """Cells advanced per sequential gather in the marcher (1 or 2). TPU
-    gathers are row-rate-bound, so the two-hop packed table halves the
-    traversal critical path at 5x mesh-table memory."""
+    traversal_hops: int = 1
+    """Cells advanced per sequential gather in the marcher (1 or 2; 2
+    needs ``build_mesh(two_hop_table=True)``). Measured neutral on v5e —
+    the march is gather-throughput-bound, not latency-bound — kept for
+    hardware where the balance differs."""
     far_plane: float = 1e3
     """Depth reported for rays that hit nothing (reference uses the
     collider's far plane, ``model.py:645-650``)."""

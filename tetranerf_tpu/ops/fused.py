@@ -74,7 +74,7 @@ def march_features(
     directions,
     max_steps: int = 512,
     entry_walk_steps: int = 16,
-    hops: int = 2,
+    hops: int = 1,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -149,6 +149,10 @@ def march_features(
 
     if hops == 2:
         table2 = mesh.march_table2
+        if table2.shape[0] == 0:
+            raise ValueError(
+                "hops=2 requires build_mesh(two_hop_table=True)"
+            )
         num_iters = -(-max_steps // 2)
 
         def step(state, _):

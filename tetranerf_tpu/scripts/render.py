@@ -57,7 +57,11 @@ def main(argv=None):
                 setattr(config.model, k, v)
 
     dataset = load_dataset(args.data, args.split)
-    mesh, colors = build_mesh_for_dataset(dataset, args.tetrahedra_path)
+    mesh, colors = build_mesh_for_dataset(
+        dataset,
+        args.tetrahedra_path,
+        two_hop_table=config.model.traversal_hops == 2,
+    )
     model = TetraNerf(config.model, mesh, num_train_images=dataset.num_images)
     trainer = Trainer(config, model, point_colors=colors, auto_tune_steps=False)
     trainer.restore_checkpoint(str(ckpt_dir))

@@ -23,7 +23,7 @@ import sys
 import numpy as np
 
 
-def build_mesh_for_dataset(dataset, tetrahedra_path=None):
+def build_mesh_for_dataset(dataset, tetrahedra_path=None, two_hop_table=False):
     """Mesh + vertex colors from a ``.th`` file or the dataset's points."""
     from ..geometry import build_mesh, load_tetrahedra
     from .datasets import apply_transform
@@ -35,13 +35,15 @@ def build_mesh_for_dataset(dataset, tetrahedra_path=None):
             dataset.dataparser_transform,
             dataset.dataparser_scale,
         )
-        mesh = build_mesh(vertices, data["cells"])
+        mesh = build_mesh(
+            vertices, data["cells"], two_hop_table=two_hop_table
+        )
         return mesh, data.get("colors")
     if dataset.points3d_xyz is None:
         raise SystemExit(
             "dataset provides no 3D points; pass --tetrahedra-path"
         )
-    mesh = build_mesh(dataset.points3d_xyz)
+    mesh = build_mesh(dataset.points3d_xyz, two_hop_table=two_hop_table)
     colors = dataset.points3d_rgb
     return mesh, colors
 
@@ -104,7 +106,11 @@ def main(argv=None):
         file=sys.stderr,
     )
 
-    mesh, colors = build_mesh_for_dataset(train_ds, args.tetrahedra_path)
+    mesh, colors = build_mesh_for_dataset(
+        train_ds,
+        args.tetrahedra_path,
+        two_hop_table=config.model.traversal_hops == 2,
+    )
     print(
         f"  mesh: {mesh.num_vertices} vertices, {mesh.num_cells} cells",
         file=sys.stderr,

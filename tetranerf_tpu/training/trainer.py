@@ -252,8 +252,14 @@ class Trainer:
         num_iterations: Optional[int] = None,
         log_every: int = 100,
         log_fn=print,
+        eval_fn: Optional[Callable[[int, "Trainer"], None]] = None,
+        eval_every: Optional[int] = None,
     ):
+        """Training loop. ``eval_fn(step, trainer)`` runs every
+        ``eval_every`` steps (defaults to the config's
+        ``steps_per_eval_batch``, reference ``registration.py:34-36``)."""
         num_iterations = num_iterations or self.config.max_num_iterations
+        eval_every = eval_every or self.config.steps_per_eval_batch
         t0 = time.perf_counter()
         rays_per_batch = None
         for i in range(num_iterations):
@@ -261,6 +267,8 @@ class Trainer:
             if rays_per_batch is None:
                 rays_per_batch = len(batch["origins"])
             metrics = self.train_step(batch)
+            if eval_fn is not None and eval_every and (i + 1) % eval_every == 0:
+                eval_fn(i + 1, self)
             if log_every and (i + 1) % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
