@@ -131,3 +131,35 @@ def test_barycentric_gradients(rng):
     b = barycentric_coordinates(verts, point)
     out = add_barycentrics_grad(b, verts, point)
     np.testing.assert_allclose(np.asarray(out), np.asarray(b), atol=1e-6)
+
+
+def test_tracer_facade(ball_points, rng):
+    """Reference-style object API: construct, load, trace, match."""
+    from tetranerf_tpu.geometry import triangulate
+    from tetranerf_tpu.tracer import TetrahedraTracer
+
+    tracer = TetrahedraTracer()
+    with pytest.raises(RuntimeError):
+        tracer.trace_rays(np.zeros((1, 3), np.float32), np.ones((1, 3), np.float32))
+    cells = triangulate(ball_points)
+    tracer.load_tetrahedra(ball_points.astype(np.float32), cells)
+    o = rng.normal(size=(8, 3))
+    o *= 3.0 / np.linalg.norm(o, axis=1, keepdims=True)
+    d = -o / np.linalg.norm(o, axis=1, keepdims=True)
+    o, d = o.astype(np.float32), d.astype(np.float32)
+    out = tracer.trace_rays(o, d, 100)
+    assert (np.asarray(out["num_visited_cells"]) > 0).all()
+    dist = np.asarray(out["hit_distances"])[:, :1, :].mean(-1)
+    matched = tracer.find_visited_cells(
+        out["num_visited_cells"],
+        out["visited_cells"],
+        out["barycentric_coordinates"],
+        out["hit_distances"],
+        out["vertex_indices"],
+        jnp.asarray(dist),
+    )
+    assert np.asarray(matched["mask"]).all()
+    located = tracer.find_tetrahedra(np.zeros((1, 3), np.float32))
+    assert np.asarray(located["valid_mask"])[0]
+    tri = tracer.trace_rays_triangles(o, d, 64)
+    assert (np.asarray(tri["num_hits"]) > 1).all()
