@@ -150,3 +150,25 @@ def test_colmap_binary_gating(monkeypatch):
     monkeypatch.setattr("shutil.which", lambda name: None)
     with pytest.raises(SystemExit, match="colmap"):
         script_common.require_binary("colmap")
+
+
+def test_downscale_images_pil_fallback(tmp_path, rng, monkeypatch):
+    from PIL import Image
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+        ).save(src / f"im_{i}.png")
+    monkeypatch.setattr("shutil.which", lambda name: None)  # no ffmpeg
+    out = script_common.downscale_images(src, tmp_path / "dst", 2)
+    img = Image.open(out / "im_0.png")
+    assert img.size == (12, 8)
+
+
+def test_process_images_arg_validation():
+    from tetranerf_tpu.scripts.process_images import main as pi_main
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        pi_main(["--output", "/tmp/x"])

@@ -219,3 +219,22 @@ def test_find_visited_cells_matches_match_samples(ball_mesh, rng):
         np.asarray(ours["barycentric"])[mask][:, 1:],
         atol=2e-3,
     )
+
+
+def test_march_on_sliver_shell(shell_points, rng):
+    """Surface-like cloud (thin shell + sparse interior): lots of sliver
+    tetrahedra — the numerically nastiest case for a marcher. Rays must
+    still cover their chords without getting lost."""
+    mesh = build_mesh(shell_points)
+    o, d = _random_outside_rays(rng, 48, radius=4.0, target_scale=0.2)
+    res = march(mesh, o, d, max_steps=384)
+    num = np.asarray(res.num_cells)
+    assert (num > 0).all()
+    t_in, t_out, _, hit = hull_intersect(mesh, o, d)
+    assert np.asarray(hit).all()
+    t1 = np.asarray(res.t1)
+    t_out = np.asarray(t_out)
+    covered = t1[np.arange(len(o)), num - 1]
+    # Chord end reached (or the step budget genuinely exhausted).
+    ok = (np.abs(covered - t_out) < 3e-2) | (num >= 380)
+    assert ok.mean() > 0.95, (covered - t_out, num)

@@ -37,6 +37,54 @@ def run_command(cmd: Sequence[str], verbose: bool = True) -> None:
     subprocess.run([str(c) for c in cmd], check=True)
 
 
+def downscale_images(
+    src_dir: Path, dst_dir: Path, factor: int, verbose: bool = True
+) -> Path:
+    """Downscale all images by an integer factor (the reference shells out
+    to ffmpeg, ``process_images.py:111-135``; PIL is the fallback when
+    ffmpeg is unavailable)."""
+    src_dir, dst_dir = Path(src_dir), Path(dst_dir)
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    files = sorted(
+        p for p in src_dir.iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    )
+    ffmpeg = shutil.which("ffmpeg")
+    for p in files:
+        out = dst_dir / p.name
+        if ffmpeg:
+            run_command(
+                [
+                    ffmpeg, "-y", "-loglevel", "error", "-i", p,
+                    "-vf", f"scale=iw/{factor}:ih/{factor}", out,
+                ],
+                verbose=verbose,
+            )
+        else:
+            from PIL import Image
+
+            img = Image.open(p)
+            img.resize(
+                (img.width // factor, img.height // factor), Image.LANCZOS
+            ).save(out)
+    return dst_dir
+
+
+def extract_video_frames(
+    video: Path, dst_dir: Path, fps: Optional[float] = None
+) -> Path:
+    """Extract frames from a video with ffmpeg (gated on availability)."""
+    ffmpeg = require_binary("ffmpeg")
+    dst_dir = Path(dst_dir)
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    cmd = [ffmpeg, "-y", "-loglevel", "error", "-i", video]
+    if fps:
+        cmd += ["-vf", f"fps={fps}"]
+    cmd += [dst_dir / "frame_%05d.png"]
+    run_command(cmd)
+    return dst_dir
+
+
 # ----------------------------------------------------------- npz split export
 def export_minimal_npz(
     output: Path,

@@ -22,16 +22,32 @@ from . import common
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tetranerf-process-images")
-    parser.add_argument("--images", required=True, help="input image dir")
+    parser.add_argument("--images", default=None, help="input image dir")
+    parser.add_argument("--video", default=None,
+                        help="input video (frames extracted with ffmpeg)")
+    parser.add_argument("--fps", type=float, default=None,
+                        help="frame extraction rate for --video")
+    parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--output", required=True)
     parser.add_argument("--dense", action="store_true",
                         help="also build a dense point cloud (slow)")
     parser.add_argument("--eval-interval", type=int, default=8)
     args = parser.parse_args(argv)
 
-    images_dir = Path(args.images)
+    if (args.images is None) == (args.video is None):
+        raise SystemExit("pass exactly one of --images / --video")
     output = Path(args.output)
     output.mkdir(parents=True, exist_ok=True)
+    if args.video is not None:
+        images_dir = common.extract_video_frames(
+            Path(args.video), output / "frames", args.fps
+        )
+    else:
+        images_dir = Path(args.images)
+    if args.downscale > 1:
+        images_dir = common.downscale_images(
+            images_dir, output / f"images_{args.downscale}", args.downscale
+        )
 
     sparse_model = common.colmap_sfm(
         images_dir, output / "colmap", dense=args.dense
