@@ -174,3 +174,21 @@ def test_qvec_rotmat_roundtrip(rng):
         assert np.allclose(r @ r.T, np.eye(3), atol=1e-10)
         q2 = cm.rotmat_to_qvec(r)
         np.testing.assert_allclose(q2, q, atol=1e-8)
+
+
+def test_rgba_composited_over_white(tmp_path):
+    from PIL import Image
+    from tetranerf_tpu.training.datasets import _load_image
+
+    rgba = np.zeros((4, 4, 4), np.uint8)
+    rgba[..., 0] = 200  # red
+    rgba[..., 3] = 128  # half transparent
+    path = tmp_path / "a.png"
+    Image.fromarray(rgba, "RGBA").save(path)
+    img = _load_image(path)
+    alpha = 128 / 255.0
+    np.testing.assert_allclose(
+        img[0, 0],
+        [200 / 255.0 * alpha + (1 - alpha), 1 - alpha, 1 - alpha],
+        atol=1e-6,
+    )
