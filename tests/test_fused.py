@@ -138,3 +138,35 @@ def test_fused_feats_differentiable(ball_mesh, rng):
     g = jax.grad(loss)(field)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_biased_warp_range_matches_compacted(ball_mesh, rng):
+    """The range-based warp over uncompacted intervals (with a dropped
+    behind-origin prefix) must equal the reference-style warp over the
+    compacted interval list."""
+    from tetranerf_tpu.ops import biased_warp_range, ray_bounds
+    from tetranerf_tpu.ops.sampling import biased_warp
+
+    # Origins inside the mesh -> nonzero dropped prefix.
+    o = np.zeros((8, 3), np.float32)
+    d = rng.normal(size=(8, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d.astype(np.float32)
+    fused = march_features(ball_mesh, None, o, d, max_steps=96)
+    nears, fars, first, num_kept, mask = ray_bounds(fused)
+    assert np.asarray(mask).all()
+    assert (np.asarray(first) > 0).any()  # prefix actually dropped
+    bins = np.asarray(nears)[:, None] + np.linspace(0, 1, 17)[None, :] * (
+        np.asarray(fars) - np.asarray(nears)
+    )[:, None]
+    got = np.asarray(
+        biased_warp_range(fused, first, num_kept, nears, fars, jnp.asarray(bins))
+    )
+    # Reference path: compacted intervals via the modular march.
+    modular = march(ball_mesh, o, d, max_steps=96)
+    bounds = jnp.stack([modular.t0, modular.t1], axis=-1)
+    bounds = jnp.where(jnp.isfinite(bounds), bounds, 0.0)
+    expect = np.asarray(
+        biased_warp(modular.num_cells, bounds, jnp.asarray(bins))
+    )
+    np.testing.assert_allclose(got, expect, atol=1e-4)
