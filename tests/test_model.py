@@ -201,3 +201,26 @@ def test_original_preset_forward(scene):
     e1 = model.get_outputs(params, RayBundle(jnp.asarray(o), jnp.asarray(d)))
     e2 = model.get_outputs(params, RayBundle(jnp.asarray(o), jnp.asarray(d)))
     np.testing.assert_array_equal(np.asarray(e1["rgb"]), np.asarray(e2["rgb"]))
+
+
+def test_fit_eval_hook(scene):
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(num_fine_samples=0)
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(5)
+
+    def next_batch(_):
+        o, d = sample_sphere_rays(rng, 64)
+        return {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+
+    calls = []
+    trainer.fit(
+        next_batch,
+        num_iterations=6,
+        log_every=0,
+        eval_fn=lambda step, tr: calls.append(step),
+        eval_every=2,
+    )
+    assert calls == [2, 4, 6]

@@ -133,7 +133,20 @@ def main(argv=None):
     def log_fn(msg):
         print(msg, file=sys.stderr)
 
-    trainer.fit(next_batch, log_every=100, log_fn=log_fn)
+    # Periodic eval-batch PSNR on the held-out split (the reference's
+    # steps_per_eval_batch cadence, registration.py:34).
+    eval_rng = np.random.default_rng(args.seed + 1)
+
+    def eval_fn(step, tr):
+        batch = eval_ds.sample_ray_batch(
+            eval_rng, config.eval_num_rays_per_batch
+        )
+        out = tr.eval_batch(batch)
+        mse = float(np.mean((np.asarray(out["rgb"]) - batch["rgb"]) ** 2))
+        psnr = -10.0 * np.log10(mse + 1e-12)
+        log_fn(f"eval step {step}: psnr={psnr:.2f}")
+
+    trainer.fit(next_batch, log_every=100, log_fn=log_fn, eval_fn=eval_fn)
 
     # Final eval over the held-out split.
     metrics_acc = []
