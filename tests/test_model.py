@@ -224,3 +224,41 @@ def test_fit_eval_hook(scene):
         eval_every=2,
     )
     assert calls == [2, 4, 6]
+
+
+def test_ray_buckets_match_unbucketed(scene):
+    """Two-bucket traversal must reproduce the unbucketed forward when the
+    short bound is not truncating (eval mode = deterministic)."""
+    mesh, colors = scene
+    base = _small_config(num_fine_samples=8)
+    model1 = TetraNerf(base, mesh)
+    params = model1.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    cfg2 = _small_config(
+        num_fine_samples=8,
+        ray_buckets=2,
+        bucket_short_steps=base.max_intersected_triangles,
+    )
+    model2 = TetraNerf(cfg2, mesh)
+    rng = np.random.default_rng(12)
+    o, d = sample_sphere_rays(rng, 48)
+    rays = RayBundle(jnp.asarray(o), jnp.asarray(d))
+    out1 = model1.get_outputs(params, rays)
+    out2 = model2.get_outputs(params, rays)
+    np.testing.assert_array_equal(
+        np.asarray(out1["ray_mask"]), np.asarray(out2["ray_mask"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["rgb"]), np.asarray(out2["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["depth"]), np.asarray(out2["depth"]), atol=1e-4
+    )
+    # With a genuinely tighter short bound the forward still runs and
+    # remains finite (train mode, truncation allowed).
+    cfg3 = _small_config(num_fine_samples=8, ray_buckets=2,
+                         bucket_short_steps=24)
+    model3 = TetraNerf(cfg3, mesh)
+    out3 = model3.get_outputs(
+        params, rays, rng=jax.random.PRNGKey(1), train=True
+    )
+    assert np.isfinite(np.asarray(out3["rgb"])).all()

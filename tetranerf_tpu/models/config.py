@@ -48,6 +48,12 @@ class TetrahedraNerfConfig:
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"
     """MLP compute dtype; parameters stay float32."""
+    ray_buckets: int = 1
+    """1 = march every ray to the batch-max bound; 2 = sort rays by
+    hull-chord length and march the short half with
+    ``bucket_short_steps`` (set per scene by the trainer's probe)."""
+    bucket_short_steps: Optional[int] = None
+    """Traversal bound for the short bucket (None = max_steps // 2)."""
     traversal_hops: int = 1
     """Cells advanced per sequential gather in the marcher (1 or 2; 2
     needs ``build_mesh(two_hop_table=True)``). Measured neutral on v5e —

@@ -213,6 +213,70 @@ class TetraNerf:
         MB of tables into every compiled executable."""
         mesh = mesh if mesh is not None else self.mesh
         cfg = self.config
+        if cfg.ray_buckets == 2:
+            return self._get_outputs_bucketed(params, rays, rng, train, mesh)
+        return self._forward(
+            params, rays, rng, train, mesh, cfg.max_intersected_triangles
+        )
+
+    def _get_outputs_bucketed(self, params, rays, rng, train, mesh):
+        """Two-bucket traversal: rays sorted by hull-chord length; the
+        short half marches with a tighter step bound
+        (``bucket_short_steps``). Every ray otherwise pads to the batch's
+        longest traversal, so this trims ~25% of the length-proportional
+        work. Bounds are set per scene by ``Trainer.tune_traversal_steps``."""
+        from ..ops.traversal import hull_intersect
+
+        cfg = self.config
+        origins = jnp.asarray(rays.origins)
+        directions = jnp.asarray(rays.directions)
+        num_rays = origins.shape[0]
+        half = num_rays // 2
+        t_in, t_out, _, hit = hull_intersect(mesh, origins, directions)
+        chord = jnp.where(hit, t_out - jnp.maximum(t_in, 0.0), 0.0)
+        order = jnp.argsort(chord)
+        inv_order = jnp.argsort(order)
+
+        def sub_bundle(idx):
+            cam = rays.camera_indices
+            return RayBundle(
+                origins=origins[idx],
+                directions=directions[idx],
+                camera_indices=cam[idx] if cam is not None else None,
+            )
+
+        t_short = cfg.bucket_short_steps or max(
+            16, cfg.max_intersected_triangles // 2
+        )
+        keys = (
+            jax.random.split(rng, 2) if rng is not None else (None, None)
+        )
+        out_a = self._forward(
+            params, sub_bundle(order[:half]), keys[0], train, mesh, t_short
+        )
+        out_b = self._forward(
+            params,
+            sub_bundle(order[half:]),
+            keys[1],
+            train,
+            mesh,
+            cfg.max_intersected_triangles,
+        )
+        return {
+            k: jnp.concatenate([out_a[k], out_b[k]], axis=0)[inv_order]
+            for k in out_a
+        }
+
+    def _forward(
+        self,
+        params: Dict[str, Any],
+        rays: RayBundle,
+        rng: Optional[jax.Array],
+        train: bool,
+        mesh: TetrahedraMesh,
+        max_steps: int,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
         origins = jnp.asarray(rays.origins)
         directions = jnp.asarray(rays.directions)
         num_rays = origins.shape[0]
@@ -231,7 +295,7 @@ class TetraNerf:
             params["tetrahedra_field"],
             origins,
             directions,
-            cfg.max_intersected_triangles,
+            max_steps,
             hops=cfg.traversal_hops,
         )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)

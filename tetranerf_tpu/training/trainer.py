@@ -168,24 +168,40 @@ class Trainer:
 
         from ..ops.fused import march_features
 
+        from ..ops.traversal import hull_intersect
+
         cfg = self.model.config
-        res = jax.jit(
-            lambda m, o, d: march_features(
+        o = jnp.asarray(batch["origins"][:4096])
+        d = jnp.asarray(batch["directions"][:4096])
+
+        def probe(m, o, d):
+            res = march_features(
                 m, None, o, d, cfg.max_intersected_triangles,
                 hops=cfg.traversal_hops,
-            ).num_valid
-        )(
-            self.mesh_tables,
-            jnp.asarray(batch["origins"][:4096]),
-            jnp.asarray(batch["directions"][:4096]),
-        )
-        max_crossings = int(np.max(np.asarray(res)))
+            )
+            t_in, t_out, _, hit = hull_intersect(m, o, d)
+            chord = jnp.where(hit, t_out - jnp.maximum(t_in, 0.0), 0.0)
+            return res.num_valid, chord
+
+        num_valid, chord = jax.jit(probe)(self.mesh_tables, o, d)
+        num_valid = np.asarray(num_valid)
+        chord = np.asarray(chord)
+
+        def rounded_bound(crossings):
+            return max(16, int(np.ceil(crossings * 1.25 / 16)) * 16)
+
         tuned = min(
-            cfg.max_intersected_triangles,
-            max(16, int(np.ceil(max_crossings * 1.25 / 16)) * 16),
+            cfg.max_intersected_triangles, rounded_bound(num_valid.max())
         )
         if tuned < cfg.max_intersected_triangles:
             cfg.max_intersected_triangles = tuned
+        if cfg.ray_buckets == 2 and cfg.bucket_short_steps is None:
+            # Short bucket = shorter-chord half; bound from its own max.
+            order = np.argsort(chord)
+            short_max = num_valid[order[: len(order) // 2]].max()
+            cfg.bucket_short_steps = min(
+                cfg.max_intersected_triangles, rounded_bound(short_max)
+            )
         return cfg.max_intersected_triangles
 
     def train_step(self, batch: Dict[str, np.ndarray]):
