@@ -29,6 +29,9 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils import cameras as cameras_mod
+from ..utils.cameras import Distortion
+
 
 @dataclasses.dataclass
 class SceneDataset:
@@ -49,6 +52,11 @@ class SceneDataset:
     points3d_xyz: Optional[np.ndarray] = None  # in *normalized* space
     points3d_rgb: Optional[np.ndarray] = None
     alpha_color: Optional[np.ndarray] = None  # background used to composite
+    # Lens distortion (None = ideal pinhole). Ray generation undistorts
+    # pixel coordinates through it — the reference gets this from
+    # nerfstudio's camera undistortion; pinhole-only rays on an
+    # OPENCV-calibrated scene would train on wrong geometry.
+    distortion: Optional["Distortion"] = None
 
     @property
     def num_images(self) -> int:
@@ -68,13 +76,14 @@ class SceneDataset:
         fy = self.fy[img_idx]
         cx = self.cx[img_idx]
         cy = self.cy[img_idx]
-        # Pixel centers; OpenGL camera: +x right, +y up, -z forward.
+        # Pixel centers in normalized (distorted) camera coordinates.
+        xn = (xs + 0.5 - cx) / fx
+        yn = (ys + 0.5 - cy) / fy
+        if self.distortion is not None and not self.distortion.is_identity:
+            xn, yn = self.distortion.undistort(xn, yn, img_idx)
+        # OpenGL camera: +x right, +y up, -z forward.
         dirs = np.stack(
-            [
-                (xs + 0.5 - cx) / fx,
-                -(ys + 0.5 - cy) / fy,
-                -np.ones_like(xs),
-            ],
+            [xn, -yn, -np.ones_like(xn)],
             axis=-1,
         )
         c2w = self.camera_to_worlds[img_idx]  # [..., 3, 4]
@@ -290,6 +299,7 @@ def load_colmap(
         ordered = train if split == "train" else test
 
     imgs, c2ws, fx, fy, cx, cy = [], [], [], [], [], []
+    dist_rows, cam_types = [], set()
     for im in ordered:
         cam = cameras[im.camera_id]
         intr = cm.camera_intrinsics(cam)
@@ -304,6 +314,19 @@ def load_colmap(
         fy.append(intr["fy"] / downscale)
         cx.append(intr["cx"] / downscale)
         cy.append(intr["cy"] / downscale)
+        dist_rows.append(cameras_mod.distortion_from_intrinsics(intr))
+        cam_types.add(intr["camera_type"])
+    if len(cam_types) > 1:
+        raise ValueError(
+            f"mixed camera distortion families in one scene: {cam_types}"
+        )
+    dist_rows = np.stack(dist_rows)
+    distortion = (
+        None
+        if not np.any(dist_rows)
+        and next(iter(cam_types), "perspective") == "perspective"
+        else cameras_mod.Distortion(next(iter(cam_types)), dist_rows)
+    )
 
     poses, transform, scale = normalize_poses(np.stack(c2ws))
     xyz = np.stack([p.xyz for p in points.values()]) if points else None
@@ -328,6 +351,7 @@ def load_colmap(
         dataparser_scale=scale,
         points3d_xyz=xyz,
         points3d_rgb=rgb,
+        distortion=distortion,
     )
 
 

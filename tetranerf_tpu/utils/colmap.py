@@ -341,22 +341,47 @@ def write_model(cameras, images, points, path, binary: bool = True) -> None:
 
 
 def camera_intrinsics(cam: Camera) -> Dict[str, float]:
-    """fx/fy/cx/cy (+distortion when present) for common camera models."""
+    """fx/fy/cx/cy + distortion + ``camera_type`` for all COLMAP camera
+    models the reference handles (``tetranerf/scripts/utils.py:54-252``
+    covers 10 of 11; THIN_PRISM_FISHEYE is unsupported there too).
+
+    ``camera_type`` is one of ``perspective``/``fisheye``/``fov`` and
+    selects the distortion family in :mod:`tetranerf_tpu.utils.cameras`.
+    Parameter orders follow COLMAP's ``camera_models.h``.
+    """
     p = cam.params
     if cam.model == "SIMPLE_PINHOLE":
-        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2]}
+        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2],
+                "camera_type": "perspective"}
     if cam.model == "PINHOLE":
-        return {"fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3]}
+        return {"fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3],
+                "camera_type": "perspective"}
     if cam.model == "SIMPLE_RADIAL":
-        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2], "k1": p[3]}
+        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2],
+                "k1": p[3], "camera_type": "perspective"}
     if cam.model == "RADIAL":
-        return {
-            "fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2],
-            "k1": p[3], "k2": p[4],
-        }
+        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2],
+                "k1": p[3], "k2": p[4], "camera_type": "perspective"}
     if cam.model == "OPENCV":
-        return {
-            "fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3],
-            "k1": p[4], "k2": p[5], "p1": p[6], "p2": p[7],
-        }
+        return {"fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3],
+                "k1": p[4], "k2": p[5], "p1": p[6], "p2": p[7],
+                "camera_type": "perspective"}
+    if cam.model == "FULL_OPENCV":
+        return {"fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3],
+                "k1": p[4], "k2": p[5], "p1": p[6], "p2": p[7],
+                "k3": p[8], "k4": p[9], "k5": p[10], "k6": p[11],
+                "camera_type": "perspective"}
+    if cam.model == "OPENCV_FISHEYE":
+        return {"fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3],
+                "k1": p[4], "k2": p[5], "k3": p[6], "k4": p[7],
+                "camera_type": "fisheye"}
+    if cam.model == "SIMPLE_RADIAL_FISHEYE":
+        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2],
+                "k1": p[3], "camera_type": "fisheye"}
+    if cam.model == "RADIAL_FISHEYE":
+        return {"fx": p[0], "fy": p[0], "cx": p[1], "cy": p[2],
+                "k1": p[3], "k2": p[4], "camera_type": "fisheye"}
+    if cam.model == "FOV":
+        return {"fx": p[0], "fy": p[1], "cx": p[2], "cy": p[3],
+                "omega": p[4], "camera_type": "fov"}
     raise NotImplementedError(f"camera model {cam.model}")
