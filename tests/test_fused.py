@@ -59,8 +59,10 @@ def test_two_hop_features_match_one_hop(ball_mesh, rng):
     np.testing.assert_array_equal(
         np.asarray(f1.num_valid), np.asarray(f2.num_valid)
     )
+    # hops=1 blends endpoint features through the bfloat16 stream kernel;
+    # hops=2 uses the exact f32 4-row gather — they agree to bf16 rounding.
     np.testing.assert_allclose(
-        np.asarray(f1.feats), np.asarray(f2.feats), atol=1e-5
+        np.asarray(f1.feats), np.asarray(f2.feats), atol=3e-2, rtol=1e-2
     )
 
 

@@ -59,5 +59,7 @@ def benchmark(
 
 
 def _force(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    # block_until_ready waits for device completion WITHOUT transferring
+    # the value — np.asarray here would pull the whole buffer through the
+    # tunnel and dominate the measurement for large outputs.
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
