@@ -67,13 +67,15 @@ def main():
         }
 
     batches = [make_batch() for _ in range(4)]
-    # Warmup/compile.
+    # Warmup/compile. float() fetches the loss scalar — on tunneled
+    # devices block_until_ready can return before remote execution
+    # finishes, and the final loss depends on the full chained state.
     m = trainer.train_step(batches[0])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for i in range(args.steps):
         m = trainer.train_step(batches[i % len(batches)])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
     rays_per_sec = args.steps * args.rays / dt
 

@@ -50,24 +50,30 @@ def main():
             ],
         }
         for name, idx_sets in cases.items():
+            m = int(idx_sets[0].shape[0])  # marchlike rounds n down to rays*244
             base = benchmark(
                 jax.jit(
-                    lambda i, r: jnp.zeros((V, F), jnp.float32).at[i].add(r)
+                    lambda i, r: jnp.zeros((V, F), jnp.float32)
+                    .at[i]
+                    .add(r)
+                    .sum()
                 ),
-                [(i, rows) for i in idx_sets],
+                [(i, rows[:m]) for i in idx_sets],
             )
             print(
-                f"N={n:>9,} {name:10s} xla            "
-                f"{base*1e3:8.2f} ms {n/base/1e6:8.1f} M rows/s"
+                f"N={m:>9,} {name:10s} xla            "
+                f"{base*1e3:8.2f} ms {m/base/1e6:8.1f} M rows/s"
             )
-            for w in (16384, 32768):
-                fn = functools.partial(
-                    scatter_add_rows, num_rows=V, window_rows=w
+            for w in (8192, 16384):
+                fn = jax.jit(
+                    lambda i, r, w=w: scatter_add_rows(
+                        i, r, num_rows=V, window_rows=w
+                    ).sum()
                 )
-                dt = benchmark(fn, [(i, rows) for i in idx_sets])
+                dt = benchmark(fn, [(i, rows[:m]) for i in idx_sets])
                 print(
-                    f"N={n:>9,} {name:10s} pallas w={w:<6d} "
-                    f"{dt*1e3:8.2f} ms {n/dt/1e6:8.1f} M rows/s"
+                    f"N={m:>9,} {name:10s} pallas w={w:<6d} "
+                    f"{dt*1e3:8.2f} ms {m/dt/1e6:8.1f} M rows/s"
                 )
         del rows, cases
 

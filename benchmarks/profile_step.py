@@ -130,17 +130,20 @@ def main():
     def step(b):
         return trainer.train_step(b)["loss"]
 
-    # warmup + timing through the trainer (keeps donation semantics)
+    # warmup + timing through the trainer (keeps donation semantics).
+    # float(last) fetches the final loss — a scalar that depends on the
+    # whole chained state — because block_until_ready returns early on
+    # tunneled devices.
     import time
     for b in batches[:2]:
-        jax.block_until_ready(step(b))
+        float(step(b))
     t0 = time.perf_counter()
     n = 0
     for _ in range(3):
         for b in batches:
             last = step(b)
             n += 1
-    jax.block_until_ready(last)
+    float(last)
     dt = (time.perf_counter() - t0) / n
     print(f"{'full train step':44s} {dt * 1e3:8.2f} ms")
     print(f"# rays/s at {args.rays} rays: {args.rays / dt:,.0f}")

@@ -1,24 +1,25 @@
 """Pallas TPU scatter-add: accumulate N feature rows into a [V, F] table.
 
-The field gradient — the transpose of ``field[indices]`` — is the single
-most expensive op of a train step under XLA, whose scatter-add lowers to
-a serialized per-row update pipeline through HBM (measured 3-23 M rows/s
-on v5e regardless of layout, with a ~300 ms floor at our sizes).
+EXPERIMENT — NOT USED BY THE MODEL. Verdict (v5e, correct one-element-
+fetch timing, 2026-08): XLA's native scatter-add does 28-47 M rows/s at
+our shapes ([0.5-2M rows, 64] into [100k, 64]) while this kernel peaks at
+~13 M rows/s (w=16384, lane-packed) — the serial per-row VMEM RMW loop
+can't beat XLA's pipelined HBM scatter, and every extra window multiplies
+the full input pass. Earlier measurements suggesting XLA scatter ran at
+3 M rows/s were an artifact of a timing harness that fetched the whole
+output buffer through the device tunnel. Kept as documentation of the
+attempt; the model's field gradient uses plain autodiff scatter-add.
 
-This kernel keeps a window of the output table RESIDENT IN VMEM across a
-full pass over the input rows, so each row update is a VMEM-latency
-read-modify-write instead of an HBM round trip. The output block spec
-revisits the same window for all row chunks (TPU grid iterations run
-sequentially on the core, so the block stays in VMEM and flushes once
-per window).
+Design, for the record: keep a window of the output table RESIDENT IN
+VMEM across a full pass over the input rows (output block spec revisits
+the same window for all row chunks; TPU grid iterations run sequentially
+on the core, so the block stays in VMEM and flushes once per window),
+and pack two 64-wide table rows per 128-lane VMEM row so the window
+wastes no lanes. Rows are processed serially within a chunk — TPU has no
+vector scatter.
 
-Rows are processed serially within a chunk — TPU has no vector scatter —
-but a VMEM RMW is ~10 cycles, not an HBM transaction. Cost model:
-``N_rows x n_windows`` inner iterations; choose the window count so the
-window fits VMEM (f32 [Wv, F<=128] tiles pad lanes to 128).
-
-Used via :func:`gather_rows` — a custom-VJP ``table[indices]`` whose
-backward is this kernel. Replaces the reference's CUDA atomicAdd
+:func:`gather_rows` wraps it as a custom-VJP ``table[indices]`` whose
+backward is this kernel, mirroring the reference's CUDA atomicAdd
 interpolation backward (``src/tetrahedra_tracer.cu:223-265``).
 """
 
@@ -62,22 +63,44 @@ def scatter_add_rows(
     indices,
     values,
     num_rows: int,
-    window_rows: int = 32768,
+    window_rows: int = 8192,
     chunk: int = 2048,
     interpret: bool = False,
 ):
     """``zeros([num_rows, F]).at[indices].add(values)`` on the TPU core.
 
     ``indices i32[N]`` (out-of-range rows are DROPPED — callers encode
-    invalid rows as -1), ``values f32[N, F]``. ``F`` must be <= 128.
+    invalid rows as -1), ``values f32[N, F]`` with ``F <= 64``.
+
+    Rows narrower than the 128-float VMEM lane tile would waste half the
+    resident window, so pairs of table rows are packed into one 128-wide
+    lane row (row ``2i`` in lanes [0, 64), row ``2i+1`` in [64, 128)) —
+    ``window_rows`` counts PACKED rows, i.e. ``2*window_rows`` table rows
+    per VMEM-resident window.
     """
     n, feat = values.shape
+    if feat > 64:
+        raise ValueError(f"F={feat} > 64 not supported by the packed layout")
     if n % chunk:
         pad = chunk - n % chunk
         indices = jnp.concatenate([indices, jnp.full((pad,), -1, jnp.int32)])
         values = jnp.concatenate([values, jnp.zeros((pad, feat), values.dtype)])
         n += pad
-    n_windows = -(-num_rows // window_rows)
+    indices = indices.astype(jnp.int32)
+    values = values.astype(jnp.float32)
+    if feat < 64:
+        values = jnp.pad(values, ((0, 0), (0, 64 - feat)))
+    # Pack: even target rows -> lanes [0, 64), odd -> [64, 128).
+    odd = (indices & 1).astype(bool)[:, None]
+    zeros = jnp.zeros_like(values)
+    packed_vals = jnp.where(
+        odd,
+        jnp.concatenate([zeros, values], axis=1),
+        jnp.concatenate([values, zeros], axis=1),
+    )
+    packed_idx = jnp.where(indices >= 0, indices >> 1, -1)
+    half_rows = -(-num_rows // 2)
+    n_windows = -(-half_rows // window_rows)
     grid = (n_windows, n // chunk)
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, window_rows),
@@ -85,18 +108,18 @@ def scatter_add_rows(
         in_specs=[
             pl.BlockSpec((chunk,), lambda w, c: (c,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (chunk, feat), lambda w, c: (c, 0), memory_space=pltpu.VMEM
+                (chunk, 128), lambda w, c: (c, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (window_rows, feat), lambda w, c: (w, 0), memory_space=pltpu.VMEM
+            (window_rows, 128), lambda w, c: (w, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_windows * window_rows, feat), jnp.float32
+            (n_windows * window_rows, 128), jnp.float32
         ),
         interpret=interpret,
-    )(indices.astype(jnp.int32), values.astype(jnp.float32))
-    return out[:num_rows]
+    )(packed_idx, packed_vals)
+    return out.reshape(-1, 64)[:num_rows, :feat]
 
 
 def _on_tpu() -> bool:

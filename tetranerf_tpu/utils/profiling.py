@@ -59,7 +59,10 @@ def benchmark(
 
 
 def _force(out):
-    # block_until_ready waits for device completion WITHOUT transferring
-    # the value — np.asarray here would pull the whole buffer through the
-    # tunnel and dominate the measurement for large outputs.
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    # Fetch ONE element to the host: on tunneled devices
+    # ``block_until_ready`` returns before remote execution finishes, and
+    # ``np.asarray`` of the whole buffer would time the transfer, not the
+    # compute. Indexing makes a scalar that depends on the full result.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    flat = leaf.reshape(-1) if getattr(leaf, "ndim", 0) else leaf
+    np.asarray(flat[..., 0] if getattr(flat, "ndim", 0) else flat)
