@@ -52,6 +52,7 @@ class FusedMarch(NamedTuple):
     num_valid: jnp.ndarray  # i32[R]
     feats: Optional[jnp.ndarray]  # f32[R, T+1, F] endpoint features
     hit: jnp.ndarray  # bool[R]
+    overflow: jnp.ndarray  # bool[R] — step bound hit while still marching
 
     @property
     def t0(self):
@@ -178,7 +179,7 @@ def march_features(
             return (cC, tC, doneC), emit
 
         init = (entry_cell, t_entry, ~hit)
-        _, (cells, t1s, barys, vidxs) = jax.lax.scan(
+        (_, _, done_final), (cells, t1s, barys, vidxs) = jax.lax.scan(
             step, init, None, length=num_iters
         )
         # [I, R, 2, ...] -> [R, I*2, ...]
@@ -223,9 +224,10 @@ def march_features(
             jnp.arange(4, dtype=jnp.int32)[None, :], (num_rays, 4)
         )
         init = (entry_cell, t_entry, ~hit, vids0, pos0)
-        _, (cells, t1s, barys, poss, new_vids) = jax.lax.scan(
+        final_state, (cells, t1s, barys, poss, new_vids) = jax.lax.scan(
             step, init, jnp.arange(max_steps, dtype=jnp.int32)
         )
+        done_final = final_state[2]
         cells = cells.T
         t1s = t1s.T
         barys = jnp.moveaxis(barys, 0, 1)  # [R, T, 4]
@@ -242,6 +244,10 @@ def march_features(
     valid = cells >= 0
     num_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
     hit = hit & (num_valid > 0)
+    # Truncation detector (the reference's cap silently drops far geometry,
+    # ``py_binding.cpp:44-47`` + ``optix_trace_rays.cu:312-315``; here the
+    # condition is surfaced so callers can alarm/retune).
+    overflow = jax.lax.stop_gradient(hit & ~done_final)
 
     if field is not None:
         all_bary = jnp.concatenate([bary_entry[:, None], barys], axis=1)
@@ -279,6 +285,7 @@ def march_features(
         num_valid=num_valid,
         feats=feats,
         hit=hit,
+        overflow=overflow,
     )
 
 
@@ -327,10 +334,23 @@ def biased_warp_range(res: FusedMarch, first, num_kept, nears, fars, samples):
     cum = jnp.cumsum(
         jnp.concatenate([nears[:, None], lengths], axis=1), axis=1
     )
-    mapped = jnp.take_along_axis(cum, intervals, axis=1) + (
-        jnp.take_along_axis(lengths, intervals, axis=1) * rest
+    # Gather-free lookup: scalar take_along_axis gathers here cost
+    # ~10ms/step at [8K, 128]. ``cum`` is a nondecreasing cumsum, so
+    # ``cum[intervals]`` is a masked max-reduction (exact element
+    # selection — max of a sorted prefix); ``lengths[intervals]`` is not
+    # sorted, so it is selected with an exact one-hot sum (NOT
+    # ``cum[k+1]-cum[k]``, whose cancellation error moves samples by
+    # ~ulp(cum)/length relative).
+    idx = intervals[:, :, None]
+    slots1 = jnp.arange(max_t + 1, dtype=jnp.int32)[None, None, :]
+    cum_at = jnp.max(
+        jnp.where(slots1 <= idx, cum[:, None, :], -jnp.inf), axis=-1
     )
-    return mapped
+    slots0 = jnp.arange(max_t, dtype=jnp.int32)[None, None, :]
+    len_at = jnp.sum(
+        jnp.where(slots0 == idx, lengths[:, None, :], 0.0), axis=-1
+    )
+    return cum_at + len_at * rest
 
 
 def sample_features(
@@ -356,14 +376,18 @@ def sample_features(
     """
     t1 = res.t1  # inf at invalid slots
     max_t = t1.shape[1]
-    # k = first interval with t1 > d  (compare-sum searchsorted)
-    k = jnp.sum(
-        (t1[:, None, :] <= distances[:, :, None]).astype(jnp.int32), axis=-1
-    )
-    k_c = jnp.minimum(k, max_t - 1)
+    # Sample->interval matching without gathers: scalar take_along_axis
+    # lowers to per-element gather rows (~50-100M rows/s on TPU — the
+    # dominant cost of this function at [8K, 256]). ``t0``/``t1`` are
+    # sorted along the interval axis, so the bracketing endpoint
+    # distances are masked min-reductions over a fused broadcast, and
+    # ``k`` (first interval with t1 > d) is a compare-sum.
     t0 = res.t0
-    t0k = jnp.take_along_axis(t0, k_c, axis=1)
-    t1k = jnp.take_along_axis(t1, k_c, axis=1)
+    gt = t1[:, None, :] > distances[:, :, None]  # [R, S, T]
+    k = max_t - jnp.sum(gt.astype(jnp.int32), axis=-1)
+    k_c = jnp.minimum(k, max_t - 1)
+    t0k = jnp.min(jnp.where(gt, t0[:, None, :], jnp.inf), axis=-1)
+    t1k = jnp.min(jnp.where(gt, t1[:, None, :], jnp.inf), axis=-1)
     mask = (
         ray_mask[:, None]
         & (k < res.num_valid[:, None])

@@ -132,17 +132,26 @@ def pdf_sample(
         u = jnp.broadcast_to(u, (pdf.shape[0], num_bins))
     u = jnp.clip(u, 0.0, 1.0 - 1e-7)
 
-    # Vectorized searchsorted: a compare-sum over the (small) bin axis is
-    # ~50ms faster per step on TPU than vmapped binary search.
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    # CDF inversion without gathers: scalar ``take_along_axis`` lowers to
+    # per-element gather rows (~50-100M rows/s on TPU — 6 gathers here
+    # cost ~50ms/step at [8K, 128]). Both ``cdf`` and ``spacing_bins``
+    # are sorted along the bin axis, so the bracketing values are masked
+    # max/min reductions over a broadcast the compiler fuses — pure VPU
+    # work, no gathers. (A vmapped binary searchsorted is even worse:
+    # 183ms vs 12ms for the compare-sum at these shapes.)
+    le = cdf[:, None, :] <= u[:, :, None]  # [R, N, B]
+    neg, pos = -jnp.inf, jnp.inf
+    cdf_g0 = jnp.max(jnp.where(le, cdf[:, None, :], neg), axis=-1)
+    bins_g0 = jnp.max(jnp.where(le, spacing_bins[:, None, :], neg), axis=-1)
+    cdf_g1 = jnp.min(jnp.where(le, pos, cdf[:, None, :]), axis=-1)
+    bins_g1 = jnp.min(jnp.where(le, pos, spacing_bins[:, None, :]), axis=-1)
+    # u >= cdf[..., 0] == 0 always, so the "below" side is never empty;
+    # past the last edge (u >= cdf[-1]) clamp to it, matching the old
+    # index clip.
+    cdf_g1 = jnp.minimum(cdf_g1, cdf[..., -1:])
+    bins_g1 = jnp.where(
+        jnp.isfinite(bins_g1), bins_g1, spacing_bins[..., -1:]
     )
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(spacing_bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(spacing_bins, above, axis=-1)
     t = jnp.clip(
         (u - cdf_g0) / jnp.where(cdf_g1 == cdf_g0, 1.0, cdf_g1 - cdf_g0), 0, 1
     )
