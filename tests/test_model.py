@@ -262,3 +262,33 @@ def test_ray_buckets_match_unbucketed(scene):
         params, rays, rng=jax.random.PRNGKey(1), train=True
     )
     assert np.isfinite(np.asarray(out3["rgb"])).all()
+
+
+def test_overflow_metric_and_no_config_mutation(scene):
+    """An adversarially tight step bound must (a) be reported via the
+    overflow_rays metric instead of silently truncating, and (b) never be
+    altered on the user's config object by the trainer's tuning."""
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(max_intersected_triangles=8)
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(11)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    metrics = trainer.train_step(batch)
+    # Rays cross ~40+ cells through this scene; a bound of 8 truncates
+    # nearly all of them.
+    assert int(metrics["overflow_rays"]) > 32
+    assert config.model.max_intersected_triangles == 8  # untouched
+
+    # With a generous bound, tuning tightens trainer-side only.
+    config2 = tetranerf_preset()
+    config2.model = _small_config(max_intersected_triangles=512)
+    model2 = TetraNerf(config2.model, mesh)
+    trainer2 = Trainer(config2, model2, point_colors=colors)
+    metrics2 = trainer2.train_step(batch)
+    assert config2.model.max_intersected_triangles == 512  # never mutated
+    assert trainer2.tuned_max_steps is not None
+    assert trainer2.tuned_max_steps < 512
+    assert int(metrics2["overflow_rays"]) == 0

@@ -207,19 +207,32 @@ class TetraNerf:
         rng: Optional[jax.Array] = None,
         train: bool = False,
         mesh: Optional[TetrahedraMesh] = None,
+        max_steps: Optional[int] = None,
+        short_steps: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Forward pass. Pass ``mesh`` explicitly inside jitted functions:
         a closed-over mesh becomes an HLO constant, embedding hundreds of
-        MB of tables into every compiled executable."""
+        MB of tables into every compiled executable.
+
+        ``max_steps``/``short_steps`` override the configured traversal
+        bounds without mutating the config (used by
+        ``Trainer.tune_traversal_steps``). The output's
+        ``traversal_overflow`` flags rays whose march was truncated by the
+        bound — a nonzero count means far geometry is being dropped and
+        the bound should be raised.
+        """
         mesh = mesh if mesh is not None else self.mesh
         cfg = self.config
+        max_steps = max_steps or cfg.max_intersected_triangles
         if cfg.ray_buckets == 2:
-            return self._get_outputs_bucketed(params, rays, rng, train, mesh)
-        return self._forward(
-            params, rays, rng, train, mesh, cfg.max_intersected_triangles
-        )
+            return self._get_outputs_bucketed(
+                params, rays, rng, train, mesh, max_steps, short_steps
+            )
+        return self._forward(params, rays, rng, train, mesh, max_steps)
 
-    def _get_outputs_bucketed(self, params, rays, rng, train, mesh):
+    def _get_outputs_bucketed(
+        self, params, rays, rng, train, mesh, max_steps, short_steps
+    ):
         """Two-bucket traversal: rays sorted by hull-chord length; the
         short half marches with a tighter step bound
         (``bucket_short_steps``). Every ray otherwise pads to the batch's
@@ -245,8 +258,8 @@ class TetraNerf:
                 camera_indices=cam[idx] if cam is not None else None,
             )
 
-        t_short = cfg.bucket_short_steps or max(
-            16, cfg.max_intersected_triangles // 2
+        t_short = short_steps or cfg.bucket_short_steps or max(
+            16, max_steps // 2
         )
         keys = (
             jax.random.split(rng, 2) if rng is not None else (None, None)
@@ -260,7 +273,7 @@ class TetraNerf:
             keys[1],
             train,
             mesh,
-            cfg.max_intersected_triangles,
+            max_steps,
         )
         return {
             k: jnp.concatenate([out_a[k], out_b[k]], axis=0)[inv_order]
@@ -372,6 +385,7 @@ class TetraNerf:
             "accumulation": acc[:, None],
             "depth": depth[:, None],
             "ray_mask": ray_mask,
+            "traversal_overflow": res.overflow,
         }
 
     # ------------------------------------------------------------------ loss

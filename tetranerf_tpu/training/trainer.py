@@ -48,9 +48,20 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 
 def make_train_step(
-    model: TetraNerf, optimizer: optax.GradientTransformation
+    model: TetraNerf,
+    optimizer: optax.GradientTransformation,
+    max_steps: Optional[int] = None,
+    short_steps: Optional[int] = None,
 ) -> Callable:
-    """Build the (un-jitted) functional train step."""
+    """Build the (un-jitted) functional train step.
+
+    ``max_steps``/``short_steps`` override the model config's traversal
+    bounds (tuned per scene by ``Trainer.tune_traversal_steps``; the
+    config itself is never mutated). The returned metrics include
+    ``overflow_rays`` — how many rays' traversal was truncated by the
+    bound this step; a persistently nonzero value means far geometry is
+    being dropped and the bound is too tight.
+    """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng, mesh):
         rng = jax.random.fold_in(rng, state.step)
@@ -62,12 +73,13 @@ def make_train_step(
                 camera_indices=batch.get("camera_indices"),
             )
             outputs = model.get_outputs(
-                params, rays, rng=rng, train=True, mesh=mesh
+                params, rays, rng=rng, train=True, mesh=mesh,
+                max_steps=max_steps, short_steps=short_steps,
             )
             loss = jnp.mean(jnp.square(outputs["rgb"] - batch["rgb"]))
             return loss, outputs
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
         updates, opt_state = optimizer.update(
@@ -77,20 +89,33 @@ def make_train_step(
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1
         )
-        metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(loss + 1e-12)}
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log10(loss + 1e-12),
+            "overflow_rays": jnp.sum(
+                outputs["traversal_overflow"].astype(jnp.int32)
+            ),
+        }
         return new_state, metrics
 
     return train_step
 
 
-def make_eval_step(model: TetraNerf) -> Callable:
+def make_eval_step(
+    model: TetraNerf,
+    max_steps: Optional[int] = None,
+    short_steps: Optional[int] = None,
+) -> Callable:
     def eval_step(params, batch, mesh):
         rays = RayBundle(
             origins=batch["origins"],
             directions=batch["directions"],
             camera_indices=batch.get("camera_indices"),
         )
-        return model.get_outputs(params, rays, rng=None, train=False, mesh=mesh)
+        return model.get_outputs(
+            params, rays, rng=None, train=False, mesh=mesh,
+            max_steps=max_steps, short_steps=short_steps,
+        )
 
     return eval_step
 
@@ -135,34 +160,57 @@ class Trainer:
         # closed-over constants — constants would be embedded per
         # executable (hundreds of MB of HLO).
         self.mesh_tables = jax.device_put(model.mesh, rep)
-        bsh = batch_sharding(self.device_mesh)
-        self._train_step = jax.jit(
-            make_train_step(model, self.optimizer),
-            in_shardings=(rep, bsh, rep, rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
+        self._rep = rep
+        self._batch_sharding = batch_sharding(self.device_mesh)
+        # Scene-tuned traversal bounds (None = the config's). Set by
+        # tune_traversal_steps; the user's config is NEVER mutated.
+        self.tuned_max_steps: Optional[int] = None
+        self.tuned_short_steps: Optional[int] = None
+        self._build_steps()
         # Bound the async dispatch queue: with no host sync at all, XLA's
         # multi-device CPU client aborts once too many collective-bearing
         # steps are in flight. A depth of 4 keeps full pipelining.
         self._pending = []
         self._max_in_flight = 4
+
+    def _build_steps(self):
+        """(Re)build the jitted train/eval steps with the current tuned
+        traversal bounds. Cheap until first call — jit compiles lazily."""
+        rep, bsh = self._rep, self._batch_sharding
+        self._train_step = jax.jit(
+            make_train_step(
+                self.model,
+                self.optimizer,
+                self.tuned_max_steps,
+                self.tuned_short_steps,
+            ),
+            in_shardings=(rep, bsh, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
         self._eval_step = jax.jit(
-            make_eval_step(model),
+            make_eval_step(
+                self.model, self.tuned_max_steps, self.tuned_short_steps
+            ),
             in_shardings=(rep, bsh, rep),
             out_shardings=bsh,
         )
-        self._batch_sharding = bsh
 
     def tune_traversal_steps(self, batch: Dict[str, np.ndarray]) -> int:
         """Shrink the traversal step bound to the scene's actual needs.
 
         The configured ``max_intersected_triangles`` (default 512,
         reference ``model.py:77``) is a worst-case cap; most scenes cross
-        far fewer cells. A one-off geometry-only probe measures the
-        maximum crossing count over a ray batch and tightens the bound
-        (rounded up with margin), shortening the sequential gather chain
-        that dominates the step time.
+        far fewer cells. A one-off geometry-only probe marches up to 8192
+        rays and tightens the bound to 1.5x the observed maximum crossing
+        count (rounded up to a multiple of 16), shortening the sequential
+        gather chain that dominates the step time.
+
+        The tuned bound lives on the trainer (``tuned_max_steps``) — the
+        user's config is never mutated — and truncation on later, deeper
+        batches is surfaced as the ``overflow_rays`` train metric rather
+        than silently dropping far geometry (the reference's hard cap
+        does drop it, ``optix_trace_rays.cu:312-315``).
         """
         import jax.numpy as jnp
 
@@ -171,8 +219,8 @@ class Trainer:
         from ..ops.traversal import hull_intersect
 
         cfg = self.model.config
-        o = jnp.asarray(batch["origins"][:4096])
-        d = jnp.asarray(batch["directions"][:4096])
+        o = jnp.asarray(batch["origins"][:8192])
+        d = jnp.asarray(batch["directions"][:8192])
 
         def probe(m, o, d):
             res = march_features(
@@ -188,21 +236,20 @@ class Trainer:
         chord = np.asarray(chord)
 
         def rounded_bound(crossings):
-            return max(16, int(np.ceil(crossings * 1.25 / 16)) * 16)
+            return max(16, int(np.ceil(crossings * 1.5 / 16)) * 16)
 
         tuned = min(
             cfg.max_intersected_triangles, rounded_bound(num_valid.max())
         )
         if tuned < cfg.max_intersected_triangles:
-            cfg.max_intersected_triangles = tuned
+            self.tuned_max_steps = tuned
         if cfg.ray_buckets == 2 and cfg.bucket_short_steps is None:
             # Short bucket = shorter-chord half; bound from its own max.
             order = np.argsort(chord)
             short_max = num_valid[order[: len(order) // 2]].max()
-            cfg.bucket_short_steps = min(
-                cfg.max_intersected_triangles, rounded_bound(short_max)
-            )
-        return cfg.max_intersected_triangles
+            self.tuned_short_steps = min(tuned, rounded_bound(short_max))
+        self._build_steps()
+        return self.tuned_max_steps or cfg.max_intersected_triangles
 
     def train_step(self, batch: Dict[str, np.ndarray]):
         if self._auto_tune_steps and not self._tuned:
@@ -289,10 +336,12 @@ class Trainer:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 rate = (i + 1) * rays_per_batch / dt
+                ovf = int(metrics.get("overflow_rays", 0))
                 log_fn(
                     f"step {i + 1}/{num_iterations} "
                     f"loss={metrics['loss']:.5f} psnr={metrics['psnr']:.2f} "
                     f"rays/s={rate:,.0f}"
+                    + (f" OVERFLOW={ovf} rays truncated" if ovf else "")
                 )
             if (
                 self.config.output_dir
