@@ -111,13 +111,37 @@ def skimage_ssim(image, target):
 
 
 class Lpips:
-    """LPIPS(alex/vgg) via torch, gated on pretrained-weight availability."""
+    """LPIPS(alex/vgg). Weight resolution order:
 
-    def __init__(self, net_type: str = "alex"):
+    1. an explicit ``weights_path`` npz (or the
+       ``TETRANERF_LPIPS_WEIGHTS`` env var) — the offline path, computed
+       in pure JAX (:mod:`tetranerf_tpu.training.lpips_jax`; export the
+       npz once with ``lpips_jax.export_lpips_weights`` on a machine with
+       internet access);
+    2. torchmetrics' pretrained download (needs egress).
+
+    Raises ``RuntimeError`` with a clear message when neither is
+    available; PSNR/SSIM metrics remain usable.
+    """
+
+    def __init__(
+        self, net_type: str = "alex", weights_path: Optional[str] = None
+    ):
+        import os
+
         self.net_type = net_type
+        self.weights_path = weights_path or os.environ.get(
+            "TETRANERF_LPIPS_WEIGHTS"
+        )
         self._fn = None
+        self._params = None
 
     def _load(self):
+        if self.weights_path:
+            from .lpips_jax import load_lpips_params
+
+            self._params = load_lpips_params(self.weights_path)
+            return
         try:
             import torch  # noqa: F401
             from torchmetrics.image.lpip import (  # type: ignore
@@ -129,15 +153,21 @@ class Lpips:
             )
         except Exception as exc:  # pragma: no cover - env without weights
             raise RuntimeError(
-                "LPIPS requires torchmetrics and pretrained network weights "
+                "LPIPS needs either an offline weight file (weights_path / "
+                "TETRANERF_LPIPS_WEIGHTS, see lpips_jax.export_lpips_weights)"
+                " or torchmetrics with downloadable pretrained weights "
                 f"(unavailable: {exc}). PSNR/SSIM metrics remain available."
             ) from exc
 
     def __call__(self, image: np.ndarray, target: np.ndarray) -> float:
+        if self._fn is None and self._params is None:
+            self._load()
+        if self._params is not None:
+            from .lpips_jax import lpips as lpips_jax_fn
+
+            return float(lpips_jax_fn(self._params, image, target))
         import torch
 
-        if self._fn is None:
-            self._load()
         to_t = lambda x: (
             torch.from_numpy(np.asarray(x, np.float32))
             .permute(2, 0, 1)[None] * 2.0 - 1.0
@@ -158,6 +188,7 @@ def compute_image_metrics(
     if lpips is not None:
         try:
             out["lpips"] = lpips(image, target)
-        except RuntimeError:
+        except (RuntimeError, ValueError):
+            # Missing weights or image below the backbone's 32px minimum.
             pass
     return out
