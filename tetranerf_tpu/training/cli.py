@@ -61,8 +61,12 @@ def main(argv=None):
     parser.add_argument("--rays-per-batch", type=int, default=None)
     parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--seed", type=int, default=42)
-    parser.add_argument("--eval-interval-images", type=int, default=2000)
     parser.add_argument("--load-checkpoint", default=None)
+    parser.add_argument("--log-every", type=int, default=100)
+    # Eval cadences (reference registration.py:34-36 defaults).
+    parser.add_argument("--steps-per-eval-batch", type=int, default=None)
+    parser.add_argument("--steps-per-eval-image", type=int, default=None)
+    parser.add_argument("--steps-per-eval-all-images", type=int, default=None)
     # Model overrides (subset of TetrahedraNerfConfig).
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--num-fine-samples", type=int, default=None)
@@ -73,7 +77,7 @@ def main(argv=None):
 
     from ..models import TetraNerf
     from .datasets import load_dataset
-    from .metrics import compute_image_metrics
+    from .metrics import Lpips, compute_image_metrics
     from .presets import METHODS
     from .trainer import Trainer
 
@@ -82,6 +86,14 @@ def main(argv=None):
         config.max_num_iterations = args.max_num_iterations
     if args.rays_per_batch:
         config.train_num_rays_per_batch = args.rays_per_batch
+    for cadence in (
+        "steps_per_eval_batch",
+        "steps_per_eval_image",
+        "steps_per_eval_all_images",
+    ):
+        v = getattr(args, cadence)
+        if v is not None:
+            setattr(config, cadence, v)
     for field in (
         "num_samples",
         "num_fine_samples",
@@ -133,9 +145,34 @@ def main(argv=None):
     def log_fn(msg):
         print(msg, file=sys.stderr)
 
-    # Periodic eval-batch PSNR on the held-out split (the reference's
-    # steps_per_eval_batch cadence, registration.py:34).
+    # Periodic eval on the reference's three cadences
+    # (``registration.py:34-36`` + ``model.py:676-713``): ray-batch PSNR
+    # every steps_per_eval_batch; one full held-out image with the full
+    # metric set (PSNR + both SSIM protocols + LPIPS when weights are
+    # available) every steps_per_eval_image; all held-out images every
+    # steps_per_eval_all_images. Image cadences fire on the nearest
+    # batch-cadence multiple.
     eval_rng = np.random.default_rng(args.seed + 1)
+    lpips_metric = Lpips()
+    try:
+        lpips_metric._load()
+    except (RuntimeError, ValueError) as exc:
+        # Missing or unusable weights must not kill a training run.
+        print(f"LPIPS disabled: {exc}", file=sys.stderr)
+        lpips_metric = None
+
+    def eval_image(tr, idx):
+        o, d = eval_ds.camera_rays(idx)
+        out = tr.render_rays(o, d)
+        pred = out["rgb"].reshape(eval_ds.height, eval_ds.width, 3)
+        return compute_image_metrics(
+            pred, eval_ds.images[idx], lpips=lpips_metric
+        )
+
+    def fmt(metrics):
+        return " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
+
+    every_batch = config.steps_per_eval_batch
 
     def eval_fn(step, tr):
         batch = eval_ds.sample_ray_batch(
@@ -145,18 +182,32 @@ def main(argv=None):
         mse = float(np.mean((np.asarray(out["rgb"]) - batch["rgb"]) ** 2))
         psnr = -10.0 * np.log10(mse + 1e-12)
         log_fn(f"eval step {step}: psnr={psnr:.2f}")
+        if step % max(config.steps_per_eval_all_images, every_batch) == 0:
+            per_image = [
+                eval_image(tr, i) for i in range(eval_ds.num_images)
+            ]
+            mean = {
+                k: float(np.mean([m[k] for m in per_image]))
+                for k in per_image[0]
+            }
+            log_fn(f"eval-all-images step {step}: {fmt(mean)}")
+        elif step % max(config.steps_per_eval_image, every_batch) == 0:
+            idx = int(eval_rng.integers(eval_ds.num_images))
+            log_fn(
+                f"eval-image step {step} (image {idx}): "
+                f"{fmt(eval_image(tr, idx))}"
+            )
 
-    trainer.fit(next_batch, log_every=100, log_fn=log_fn, eval_fn=eval_fn)
+    trainer.fit(
+        next_batch,
+        log_every=args.log_every,
+        log_fn=log_fn,
+        eval_fn=eval_fn,
+        eval_every=every_batch,
+    )
 
-    # Final eval over the held-out split.
-    metrics_acc = []
-    for i in range(min(eval_ds.num_images, 8)):
-        o, d = eval_ds.camera_rays(i)
-        out = trainer.render_rays(o, d)
-        pred = out["rgb"].reshape(eval_ds.height, eval_ds.width, 3)
-        metrics_acc.append(
-            compute_image_metrics(pred, eval_ds.images[i])
-        )
+    # Final eval over the FULL held-out split with all metrics.
+    metrics_acc = [eval_image(trainer, i) for i in range(eval_ds.num_images)]
     mean_metrics = {
         k: float(np.mean([m[k] for m in metrics_acc]))
         for k in metrics_acc[0]
