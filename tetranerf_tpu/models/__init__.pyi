@@ -33,6 +33,7 @@ class TetrahedraNerfConfig:
     appearance_embed_dim: int
     use_occupancy_field: bool
     compute_dtype: str
+    remat_mlps: bool
     ray_buckets: int
     bucket_short_steps: Optional[int]
     traversal_hops: int
@@ -58,6 +59,7 @@ class TetrahedraNerfConfig:
         appearance_embed_dim: int = ...,
         use_occupancy_field: bool = ...,
         compute_dtype: str = ...,
+        remat_mlps: bool = ...,
         ray_buckets: int = ...,
         bucket_short_steps: Optional[int] = ...,
         traversal_hops: int = ...,

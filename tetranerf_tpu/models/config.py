@@ -48,6 +48,10 @@ class TetrahedraNerfConfig:
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"
     """MLP compute dtype; parameters stay float32."""
+    remat_mlps: bool = True
+    """Recompute MLP activations in the backward pass instead of saving
+    them — they are the step's largest residuals ([R, S, 128] each; an
+    OOM at 32K rays) while their recompute is nearly free."""
     ray_buckets: int = 1
     """1 = march every ray to the batch-max bound; 2 = sort rays by
     hull-chord length and march the short half with

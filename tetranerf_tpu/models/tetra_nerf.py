@@ -142,6 +142,23 @@ class TetraNerf:
         return params
 
     # --------------------------------------------------------------- helpers
+    def _field_mlps_remat(
+        self, params, field_values, directions, camera_indices, train
+    ):
+        """MLP heads under ``jax.checkpoint``: their activations at
+        [R, S, 128] are the largest residuals of the step (4GB each at
+        32K rays — an immediate OOM; several GB of HBM write+read traffic
+        even at 8K), while recomputing them in the backward is nearly
+        free (the MXU is idle most of the step)."""
+        if not self.config.remat_mlps:
+            return self._field_mlps(
+                params, field_values, directions, camera_indices, train
+            )
+        fn = jax.checkpoint(
+            lambda p, fv, d, ci: self._field_mlps(p, fv, d, ci, train)
+        )
+        return fn(params, field_values, directions, camera_indices)
+
     def _field_mlps(self, params, field_values, directions, camera_indices, train):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -335,7 +352,7 @@ class TetraNerf:
 
         if cfg.num_fine_samples > 0:
             distances, deltas, smask, field_values = run_field(euclid_bins)
-            rgb_c, density_c = self._field_mlps(
+            rgb_c, density_c = self._field_mlps_remat(
                 params, field_values, directions, rays.camera_indices, train
             )
             density_c = jnp.where(smask, density_c, 0.0)
@@ -353,7 +370,7 @@ class TetraNerf:
             spacing_bins = fine_spacing
 
         distances, deltas, smask, field_values = run_field(euclid_bins)
-        rgb, density = self._field_mlps(
+        rgb, density = self._field_mlps_remat(
             params, field_values, directions, rays.camera_indices, train
         )
         density = jnp.where(smask, density, 0.0)

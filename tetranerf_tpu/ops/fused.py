@@ -224,15 +224,53 @@ def march_features(
             jnp.arange(4, dtype=jnp.int32)[None, :], (num_rays, 4)
         )
         init = (entry_cell, t_entry, ~hit, vids0, pos0)
-        final_state, (cells, t1s, barys, poss, new_vids) = jax.lax.scan(
-            step, init, jnp.arange(max_steps, dtype=jnp.int32)
+
+        # Early-exit march: a while_loop over CHUNK-step scan blocks that
+        # stops once EVERY ray is done, so the sequential-gather chain
+        # tracks the batch's actual max crossing count instead of the
+        # worst-case bound (the bound is a safety cap, often 1.5-2x the
+        # batch max after tuning; for eval/render it defaults to 512).
+        # Untouched buffer tails keep the exact padding the scan would
+        # have emitted (cells=-1, t=inf, bary/pos/vid=0).
+        chunk = min(16, max_steps)
+        n_chunks = -(-max_steps // chunk)
+        total = n_chunks * chunk
+        bufs0 = (
+            jnp.full((num_rays, total), -1, jnp.int32),  # cells
+            jnp.full((num_rays, total), jnp.inf, jnp.float32),  # t1
+            jnp.zeros((num_rays, total, 4), jnp.float32),  # bary_exit
+            jnp.zeros((num_rays, total, 4), jnp.int32),  # stream pos
+            jnp.zeros((num_rays, total), jnp.int32),  # new vertex id
+        )
+
+        def cond(carry):
+            i, state, _ = carry
+            return (i < n_chunks) & ~jnp.all(state[2])
+
+        def body(carry):
+            i, state, bufs = carry
+            xs = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            state, outs = jax.lax.scan(step, state, xs)
+            # outs: [chunk, R, ...] -> [R, chunk, ...] written at column
+            # i*chunk of each buffer.
+            start = i * chunk
+            bufs = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf,
+                    jnp.moveaxis(o, 0, 1).astype(buf.dtype),
+                    (0, start) + (0,) * (buf.ndim - 2),
+                )
+                for buf, o in zip(bufs, outs)
+            )
+            return i + 1, state, bufs
+
+        _, final_state, bufs = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init, bufs0)
         )
         done_final = final_state[2]
-        cells = cells.T
-        t1s = t1s.T
-        barys = jnp.moveaxis(barys, 0, 1)  # [R, T, 4]
-        poss = jnp.moveaxis(poss, 0, 1)  # [R, T, 4]
-        new_vids = new_vids.T  # [R, T]
+        cells, t1s, barys, poss, new_vids = (
+            b[:, :max_steps] for b in bufs
+        )
         vidxs = None
 
     # Geometry is not differentiated (the reference likewise optimizes the
