@@ -292,3 +292,48 @@ def test_overflow_metric_and_no_config_mutation(scene):
     assert trainer2.tuned_max_steps is not None
     assert trainer2.tuned_max_steps < 512
     assert int(metrics2["overflow_rays"]) == 0
+
+
+def test_cached_camera_render_matches_uncached(scene):
+    """cache_camera + render_cached must reproduce render_rays exactly
+    (same rays, same params — the march is deterministic), and keep
+    matching after a training step updates the field."""
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config()
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(5)
+    o, d = sample_sphere_rays(rng, 96)  # non-multiple of chunk
+    base = trainer.render_rays(o, d, chunk=64)
+    cache = trainer.cache_camera(o, d, chunk=64)
+    cached = trainer.render_cached(cache)
+    for k in ("rgb", "depth", "accumulation"):
+        np.testing.assert_allclose(cached[k], base[k], atol=1e-6, err_msg=k)
+
+    # Field changes -> cached re-shade tracks the new params.
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    for _ in range(3):
+        trainer.train_step(batch)
+    after = trainer.render_cached(cache)
+    base_after = trainer.render_rays(o, d, chunk=64)
+    np.testing.assert_allclose(after["rgb"], base_after["rgb"], atol=1e-6)
+    assert np.abs(after["rgb"] - cached["rgb"]).max() > 1e-5  # actually moved
+
+
+def test_fast_render_sample_override(scene):
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config()
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(6)
+    o, d = sample_sphere_rays(rng, 64)
+    out = trainer.render_rays(o, d, chunk=64, num_samples=8, num_fine_samples=0)
+    assert out["rgb"].shape == (64, 3)
+    assert np.isfinite(out["rgb"]).all()
+    # Quality knob: coarse-only output still correlates with full render.
+    full = trainer.render_rays(o, d, chunk=64)
+    mask = np.asarray(full["ray_mask"]).astype(bool)
+    err = np.abs(out["rgb"][mask] - full["rgb"][mask]).mean()
+    assert err < 0.2

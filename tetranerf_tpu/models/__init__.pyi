@@ -89,6 +89,9 @@ class TetraNerf:
         mesh: Optional[TetrahedraMesh] = ...,
         max_steps: Optional[int] = ...,
         short_steps: Optional[int] = ...,
+        num_samples: Optional[int] = ...,
+        num_fine_samples: Optional[int] = ...,
+        cached_march: Optional[Any] = ...,
     ) -> Dict[str, jax.Array]: ...
     def loss(
         self, outputs: Dict[str, jax.Array], batch: Any

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from ..geometry.mesh import TetrahedraMesh
 from ..ops.encoding import nerf_encoding, nerf_encoding_dim
 from ..ops.fused import (
+    FusedMarch,
     biased_warp_range,
+    endpoint_features,
     march_features,
     ray_bounds,
     sample_features,
@@ -226,6 +228,9 @@ class TetraNerf:
         mesh: Optional[TetrahedraMesh] = None,
         max_steps: Optional[int] = None,
         short_steps: Optional[int] = None,
+        num_samples: Optional[int] = None,
+        num_fine_samples: Optional[int] = None,
+        cached_march: Optional["FusedMarch"] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Forward pass. Pass ``mesh`` explicitly inside jitted functions:
         a closed-over mesh becomes an HLO constant, embedding hundreds of
@@ -237,18 +242,29 @@ class TetraNerf:
         ``traversal_overflow`` flags rays whose march was truncated by the
         bound — a nonzero count means far geometry is being dropped and
         the bound should be raised.
+
+        ``num_samples``/``num_fine_samples`` override the sample budget
+        (render-speed knob; ``num_fine_samples=0`` skips the PDF round).
+        ``cached_march`` re-shades a previously computed march of the
+        SAME rays against the current field instead of re-marching —
+        the static-camera viewer path.
         """
         mesh = mesh if mesh is not None else self.mesh
         cfg = self.config
         max_steps = max_steps or cfg.max_intersected_triangles
-        if cfg.ray_buckets == 2:
+        if cfg.ray_buckets == 2 and cached_march is None:
             return self._get_outputs_bucketed(
-                params, rays, rng, train, mesh, max_steps, short_steps
+                params, rays, rng, train, mesh, max_steps, short_steps,
+                num_samples, num_fine_samples,
             )
-        return self._forward(params, rays, rng, train, mesh, max_steps)
+        return self._forward(
+            params, rays, rng, train, mesh, max_steps,
+            num_samples, num_fine_samples, cached_march,
+        )
 
     def _get_outputs_bucketed(
-        self, params, rays, rng, train, mesh, max_steps, short_steps
+        self, params, rays, rng, train, mesh, max_steps, short_steps,
+        num_samples=None, num_fine_samples=None,
     ):
         """Two-bucket traversal: rays sorted by hull-chord length; the
         short half marches with a tighter step bound
@@ -282,7 +298,8 @@ class TetraNerf:
             jax.random.split(rng, 2) if rng is not None else (None, None)
         )
         out_a = self._forward(
-            params, sub_bundle(order[:half]), keys[0], train, mesh, t_short
+            params, sub_bundle(order[:half]), keys[0], train, mesh, t_short,
+            num_samples, num_fine_samples,
         )
         out_b = self._forward(
             params,
@@ -291,6 +308,8 @@ class TetraNerf:
             train,
             mesh,
             max_steps,
+            num_samples,
+            num_fine_samples,
         )
         return {
             k: jnp.concatenate([out_a[k], out_b[k]], axis=0)[inv_order]
@@ -305,8 +324,17 @@ class TetraNerf:
         train: bool,
         mesh: TetrahedraMesh,
         max_steps: int,
+        num_samples: Optional[int] = None,
+        num_fine_samples: Optional[int] = None,
+        cached_march: Optional[FusedMarch] = None,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
+        n_coarse = num_samples if num_samples is not None else cfg.num_samples
+        n_fine = (
+            num_fine_samples
+            if num_fine_samples is not None
+            else cfg.num_fine_samples
+        )
         origins = jnp.asarray(rays.origins)
         directions = jnp.asarray(rays.directions)
         num_rays = origins.shape[0]
@@ -319,19 +347,27 @@ class TetraNerf:
         # One fused march per forward pass: traversal intervals + endpoint
         # features. Both the coarse and fine sampling rounds reuse it (the
         # reference re-runs find_visited_cells + interpolate per round,
-        # ``model.py:560-600``).
-        res = march_features(
-            mesh,
-            params["tetrahedra_field"],
-            origins,
-            directions,
-            max_steps,
-            hops=cfg.traversal_hops,
-        )
+        # ``model.py:560-600``). A cached march (same rays, earlier field)
+        # is re-shaded against the current field instead.
+        if cached_march is not None:
+            res = cached_march._replace(
+                feats=endpoint_features(
+                    params["tetrahedra_field"], cached_march.stream
+                )
+            )
+        else:
+            res = march_features(
+                mesh,
+                params["tetrahedra_field"],
+                origins,
+                directions,
+                max_steps,
+                hops=cfg.traversal_hops,
+            )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 
         # --- coarse sampling ------------------------------------------------
-        bins01 = stratified_bins(sample_key, num_rays, cfg.num_samples)
+        bins01 = stratified_bins(sample_key, num_rays, n_coarse)
         euclid_bins = nears[:, None] + bins01 * (fars - nears)[:, None]
         if cfg.use_biased_sampler:
             euclid_bins = biased_warp_range(
@@ -350,7 +386,7 @@ class TetraNerf:
             )
             return distances, deltas, smask, field_values
 
-        if cfg.num_fine_samples > 0:
+        if n_fine > 0:
             distances, deltas, smask, field_values = run_field(euclid_bins)
             rgb_c, density_c = self._field_mlps_remat(
                 params, field_values, directions, rays.camera_indices, train
@@ -361,7 +397,7 @@ class TetraNerf:
                 k_fine if train else None,
                 spacing_bins,
                 jax.lax.stop_gradient(weights_c),
-                cfg.num_fine_samples,
+                n_fine,
                 include_original=True,
             )
             euclid_bins = (

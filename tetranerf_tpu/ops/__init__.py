@@ -2,7 +2,9 @@ from .traversal import MarchResult, hull_intersect, locate_points, march, trace_
 from .matching import find_visited_cells, match_samples
 from .fused import (
     FusedMarch,
+    MarchStream,
     biased_warp_range,
+    endpoint_features,
     march_features,
     ray_bounds,
     sample_features,
@@ -30,6 +32,8 @@ from .encoding import nerf_encoding
 __all__ = [
     "MarchResult",
     "FusedMarch",
+    "MarchStream",
+    "endpoint_features",
     "biased_warp_range",
     "march_features",
     "ray_bounds",

@@ -16,6 +16,11 @@ class MarchResult(NamedTuple):
     t1: jax.Array  # f32[R, T]
     num_cells: jax.Array  # i32[R]
 
+class MarchStream(NamedTuple):
+    vids: jax.Array  # i32[R, T+4]
+    pos: jax.Array  # i32[R, T+1, 4]
+    bary: jax.Array  # f32[R, T+1, 4]
+
 class FusedMarch(NamedTuple):
     cells: jax.Array  # i32[R, T]
     t1: jax.Array  # f32[R, T]
@@ -25,8 +30,13 @@ class FusedMarch(NamedTuple):
     feats: Optional[jax.Array]  # f32[R, T+1, F]
     hit: jax.Array  # bool[R]
     overflow: jax.Array  # bool[R]
+    stream: Optional[MarchStream] = ...
     @property
     def t0(self) -> jax.Array: ...
+
+def endpoint_features(
+    field: ArrayLike, stream: MarchStream
+) -> jax.Array: ...
 
 # ------------------------------------------------------------- traversal
 def hull_intersect(

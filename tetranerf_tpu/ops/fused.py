@@ -35,6 +35,19 @@ from .pallas_interp import stream_blend
 from .traversal import _eval_planes, _walk, hull_intersect
 
 
+class MarchStream(NamedTuple):
+    """Geometry needed to (re)compute endpoint features for a march.
+
+    Lets a cached march be re-shaded as the field trains (viewer /
+    static-camera rendering): ``endpoint_features(field, stream)`` is
+    the only field-dependent part of the traversal.
+    """
+
+    vids: jnp.ndarray  # i32[R, T+4] per-ray deduplicated vertex ids
+    pos: jnp.ndarray  # i32[R, T+1, 4] endpoint -> stream positions
+    bary: jnp.ndarray  # f32[R, T+1, 4] endpoint barycentric weights
+
+
 class FusedMarch(NamedTuple):
     """Uncompacted traversal intervals with interval-endpoint features.
 
@@ -53,6 +66,7 @@ class FusedMarch(NamedTuple):
     feats: Optional[jnp.ndarray]  # f32[R, T+1, F] endpoint features
     hit: jnp.ndarray  # bool[R]
     overflow: jnp.ndarray  # bool[R] — step bound hit while still marching
+    stream: Optional[MarchStream] = None  # hops=1 path only
 
     @property
     def t0(self):
@@ -287,34 +301,31 @@ def march_features(
     # condition is surfaced so callers can alarm/retune).
     overflow = jax.lax.stop_gradient(hit & ~done_final)
 
-    if field is not None:
-        all_bary = jnp.concatenate([bary_entry[:, None], barys], axis=1)
-        all_valid = jnp.concatenate([hit[:, None], valid], axis=1)
-        all_bary = jax.lax.stop_gradient(
-            jnp.where(all_valid[..., None], all_bary, 0.0)
-        )
-        if vidxs is not None:
+    all_bary = jnp.concatenate([bary_entry[:, None], barys], axis=1)
+    all_valid = jnp.concatenate([hit[:, None], valid], axis=1)
+    all_bary = jax.lax.stop_gradient(
+        jnp.where(all_valid[..., None], all_bary, 0.0)
+    )
+    feats = stream = None
+    if vidxs is not None:
+        if field is not None:
             # Two-hop path: endpoint features by direct 4-row gather.
             all_vidx = jnp.concatenate([vids0[:, None], vidxs], axis=1)
             all_vidx = jax.lax.stop_gradient(all_vidx)
             gathered = field[jnp.maximum(all_vidx, 0)]  # [R, T+1, 4, F]
             feats = jnp.sum(all_bary[..., None] * gathered, axis=-2)
-        else:
-            # Stream path: ONE feature row per unique (ray, vertex) —
-            # a 4x smaller gather, and a 4x smaller scatter in the
-            # backward (the dominant cost of a train step on TPU).
-            stream_vids, pos_all = jax.lax.stop_gradient(
+    else:
+        stream = MarchStream(
+            *jax.lax.stop_gradient(
                 (
                     jnp.concatenate([vids0, new_vids], axis=1),
-                    jnp.concatenate(
-                        [pos0[:, None, :], poss], axis=1
-                    ),
+                    jnp.concatenate([pos0[:, None, :], poss], axis=1),
                 )
-            )
-            stream_field = field[jnp.maximum(stream_vids, 0)]  # [R, T+4, F]
-            feats = stream_blend(stream_field, pos_all, all_bary)
-    else:
-        feats = None
+            ),
+            bary=all_bary,
+        )
+        if field is not None:
+            feats = endpoint_features(field, stream)
     return FusedMarch(
         cells=cells,
         t1=t1s,
@@ -324,7 +335,21 @@ def march_features(
         feats=feats,
         hit=hit,
         overflow=overflow,
+        stream=stream,
     )
+
+
+def endpoint_features(field, stream: MarchStream):
+    """Interval-endpoint features from a march's vertex stream.
+
+    ONE feature row per unique (ray, vertex) — a 4x smaller gather than
+    per-endpoint vertex gathers, and a 4x smaller scatter in the
+    backward (the dominant cost of a train step on TPU). The only
+    field-dependent piece of the traversal: re-run it against an updated
+    field to re-shade a cached march (static-camera rendering during
+    training)."""
+    stream_field = field[jnp.maximum(stream.vids, 0)]  # [R, T+4, F]
+    return stream_blend(stream_field, stream.pos, stream.bary)
 
 
 def ray_bounds(res: FusedMarch, near: float = 0.0):

@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--output", default="renders")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--method", default="tetra-nerf")
+    parser.add_argument("--chunk", type=int, default=16384)
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="coarse-only render with 64 samples (viewer-speed mode)",
+    )
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -77,7 +82,11 @@ def main(argv=None):
     for i in range(num):
         o, d = dataset.camera_rays(i)
         total_rays += len(o)
-        out = trainer.render_rays(o, d)
+        out = trainer.render_rays(
+            o, d, chunk=args.chunk,
+            num_samples=64 if args.fast else None,
+            num_fine_samples=0 if args.fast else None,
+        )
         h, w = dataset.height, dataset.width
         rgb = np.clip(out["rgb"].reshape(h, w, 3), 0, 1)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(

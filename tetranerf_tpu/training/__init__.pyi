@@ -66,7 +66,21 @@ class Trainer:
     def train_step(self, batch: Batch) -> Metrics: ...
     def eval_batch(self, batch: Batch) -> Dict[str, jax.Array]: ...
     def render_rays(
+        self,
+        origins: np.ndarray,
+        directions: np.ndarray,
+        chunk: int = ...,
+        num_samples: Optional[int] = ...,
+        num_fine_samples: Optional[int] = ...,
+    ) -> Dict[str, np.ndarray]: ...
+    def cache_camera(
         self, origins: np.ndarray, directions: np.ndarray, chunk: int = ...
+    ) -> Dict[str, Any]: ...
+    def render_cached(
+        self,
+        cache: Dict[str, Any],
+        num_samples: Optional[int] = ...,
+        num_fine_samples: Optional[int] = ...,
     ) -> Dict[str, np.ndarray]: ...
     def save_checkpoint(self, path: str) -> None: ...
     def restore_checkpoint(self, path: str) -> None: ...

@@ -172,11 +172,15 @@ class Trainer:
         # steps are in flight. A depth of 4 keeps full pipelining.
         self._pending = []
         self._max_in_flight = 4
+        # Jitted eval variants keyed by sample-budget override.
+        self._fast_eval_fns: Dict[Any, Callable] = {}
 
     def _build_steps(self):
         """(Re)build the jitted train/eval steps with the current tuned
         traversal bounds. Cheap until first call — jit compiles lazily."""
         rep, bsh = self._rep, self._batch_sharding
+        if hasattr(self, "_fast_eval_fns"):
+            self._fast_eval_fns.clear()  # bounds baked at trace time
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
@@ -275,11 +279,97 @@ class Trainer:
         }
         return self._eval_step(self.state.params, batch, self.mesh_tables)
 
-    def render_rays(self, origins, directions, chunk: int = 8192):
-        """Render arbitrary ray sets in fixed-size chunks (eval/viewer path;
-        pads the tail chunk to keep shapes static)."""
+    def _fast_eval_fn(self, num_samples, num_fine_samples):
+        """Jitted eval step with a sample-budget override (render-speed
+        knob); compiled once per distinct budget."""
+        key = (num_samples, num_fine_samples)
+        fn = self._fast_eval_fns.get(key)
+        if fn is None:
+            model = self.model
+
+            def eval_fn(params, o, d, mesh):
+                return model.get_outputs(
+                    params,
+                    RayBundle(origins=o, directions=d),
+                    rng=None,
+                    train=False,
+                    mesh=mesh,
+                    max_steps=self.tuned_max_steps,
+                    short_steps=self.tuned_short_steps,
+                    num_samples=num_samples,
+                    num_fine_samples=num_fine_samples,
+                )
+
+            fn = jax.jit(eval_fn)
+            self._fast_eval_fns[key] = fn
+        return fn
+
+    def _chunked(self, origins, directions, chunk, run):
+        """Fixed-size chunking with tail padding; ``run(o, d, index)``
+        returns a dict of per-ray arrays.
+
+        All chunks are DISPATCHED before any result is fetched — on a
+        tunneled device a synchronous per-chunk loop pays a full
+        round-trip per chunk and dominates render time (measured ~4x)."""
         num = len(origins)
-        outs = []
+        pending = []
+        for ci, i in enumerate(range(0, num, chunk)):
+            o = np.asarray(origins[i : i + chunk], np.float32)
+            d = np.asarray(directions[i : i + chunk], np.float32)
+            pad = chunk - len(o)
+            if pad:
+                o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+                d = np.concatenate(
+                    [d, np.tile(np.float32([0, 0, 1]), (pad, 1))]
+                )
+            pending.append((run(o, d, ci), pad))
+        outs = [
+            {k: np.asarray(v)[: chunk - pad] for k, v in out.items()}
+            for out, pad in pending
+        ]
+        return {
+            k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
+
+    def render_rays(
+        self,
+        origins,
+        directions,
+        chunk: int = 8192,
+        num_samples: Optional[int] = None,
+        num_fine_samples: Optional[int] = None,
+    ):
+        """Render arbitrary ray sets in fixed-size chunks (eval/viewer
+        path). ``num_samples``/``num_fine_samples`` trade quality for
+        speed (``num_fine_samples=0`` skips the PDF round entirely)."""
+        if num_samples is None and num_fine_samples is None:
+            run = lambda o, d, _: self.eval_batch(
+                {"origins": o, "directions": d}
+            )
+        else:
+            fn = self._fast_eval_fn(num_samples, num_fine_samples)
+            run = lambda o, d, _: fn(
+                self.state.params, jnp.asarray(o), jnp.asarray(d),
+                self.mesh_tables,
+            )
+        return self._chunked(origins, directions, chunk, run)
+
+    # ------------------------------------------------- static-camera cache
+    def cache_camera(self, origins, directions, chunk: int = 8192):
+        """March a camera's rays ONCE and keep the per-chunk traversal
+        (intervals + vertex stream) on device. Re-render the same camera
+        against the training field with :meth:`render_cached` — the march
+        (the dominant render cost) is skipped entirely. The viewer
+        equivalent of the reference's per-frame OptiX launch."""
+        from ..ops.fused import march_features
+
+        cfg = self.model.config
+        max_steps = self.tuned_max_steps or cfg.max_intersected_triangles
+        marcher = jax.jit(
+            lambda m, o, d: march_features(m, None, o, d, max_steps)
+        )
+        chunks = []
+        num = len(origins)
         for i in range(0, num, chunk):
             o = np.asarray(origins[i : i + chunk], np.float32)
             d = np.asarray(directions[i : i + chunk], np.float32)
@@ -289,10 +379,53 @@ class Trainer:
                 d = np.concatenate(
                     [d, np.tile(np.float32([0, 0, 1]), (pad, 1))]
                 )
-            out = self.eval_batch({"origins": o, "directions": d})
-            outs.append(
-                {k: np.asarray(v)[: chunk - pad] for k, v in out.items()}
+            chunks.append(
+                (marcher(self.mesh_tables, jnp.asarray(o), jnp.asarray(d)),
+                 jnp.asarray(o), jnp.asarray(d))
             )
+        return {"chunks": chunks, "chunk": chunk, "num_rays": num}
+
+    def render_cached(
+        self,
+        cache,
+        num_samples: Optional[int] = None,
+        num_fine_samples: Optional[int] = None,
+    ):
+        """Render a camera cached by :meth:`cache_camera` with the
+        CURRENT parameters (no re-march)."""
+        key = ("cached", num_samples, num_fine_samples)
+        fn = self._fast_eval_fns.get(key)
+        if fn is None:
+            model = self.model
+
+            def eval_fn(params, cached, o, d, mesh):
+                return model.get_outputs(
+                    params,
+                    RayBundle(origins=o, directions=d),
+                    rng=None,
+                    train=False,
+                    mesh=mesh,
+                    num_samples=num_samples,
+                    num_fine_samples=num_fine_samples,
+                    cached_march=cached,
+                )
+
+            fn = jax.jit(eval_fn)
+            self._fast_eval_fns[key] = fn
+        chunk = cache["chunk"]
+        num = cache["num_rays"]
+        # Dispatch every chunk before fetching (see _chunked).
+        pending = [
+            fn(self.state.params, cached, o, d, self.mesh_tables)
+            for cached, o, d in cache["chunks"]
+        ]
+        outs = [
+            {
+                k: np.asarray(v)[: min(chunk, num - i * chunk)]
+                for k, v in out.items()
+            }
+            for i, out in enumerate(pending)
+        ]
         return {
             k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }
