@@ -1,0 +1,76 @@
+"""Worker for the 2-process multi-host test (run via subprocess).
+
+Each process owns 4 virtual CPU devices (8 global), feeds ONLY its
+host_batch_slice of a deterministic global batch, assembles global
+arrays with make_global_batch, and evaluates a jitted global reduction —
+the cross-process collective path a pod uses (gloo CPU collectives
+standing in for DCN).
+
+Usage: python tests/multihost_worker.py <process_id> <port>
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    process_id = int(sys.argv[1])
+    port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=process_id,
+    )
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tetranerf_tpu.parallel.sharding import (
+        batch_sharding,
+        host_batch_slice,
+        make_global_batch,
+        make_mesh,
+        replicate,
+    )
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    mesh = make_mesh()
+    global_batch = {
+        "x": np.arange(64, dtype=np.float32).reshape(16, 4) + 1.0,
+        "y": np.arange(16, dtype=np.float32) * 0.5,
+    }
+    sl = host_batch_slice(16)
+    local = {k: v[sl] for k, v in global_batch.items()}
+    gbatch = make_global_batch(local, mesh)
+    assert gbatch["x"].shape == (16, 4), gbatch["x"].shape
+
+    @jax.jit
+    def reduce_fn(b):
+        return jnp.mean(b["x"]) + jnp.sum(b["y"])
+
+    out = jax.jit(reduce_fn, out_shardings=replicate(mesh))(gbatch)
+    expected = float(
+        np.mean(global_batch["x"]) + np.sum(global_batch["y"])
+    )
+    got = float(out)
+    assert abs(got - expected) < 1e-5, (got, expected)
+    print(f"OK process={process_id} value={got}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,8 @@
 from .sharding import (
     batch_sharding,
+    host_batch_slice,
     initialize_multihost,
+    make_global_batch,
     make_mesh,
     replicate,
     shard_batch,
@@ -11,5 +13,7 @@ __all__ = [
     "batch_sharding",
     "replicate",
     "shard_batch",
+    "host_batch_slice",
+    "make_global_batch",
     "initialize_multihost",
 ]

@@ -54,6 +54,55 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     )
 
 
+def host_batch_slice(
+    global_batch_size: int,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> slice:
+    """This host's contiguous slice of every globally-indexed ray batch.
+
+    On a pod each process must feed only its own shard of the global
+    batch (its addressable devices); with the batch axis sharded over a
+    mesh whose device order is process-major (``jax.devices()`` order),
+    process ``p`` owns rows ``[p*G/P, (p+1)*G/P)``. ``global_batch_size``
+    must divide evenly by the process count (static shapes everywhere).
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes"
+        )
+    per = global_batch_size // n
+    return slice(p * per, (p + 1) * per)
+
+
+def make_global_batch(local_batch, mesh: Mesh, axis_name: str = "data"):
+    """Assemble per-process local batch shards into global sharded arrays.
+
+    ``local_batch`` is the pytree of THIS host's rows (produced with
+    :func:`host_batch_slice`); the result is a pytree of global jax
+    Arrays sharded over ``mesh``'s batch axis, ready for the jitted
+    train step. Single-process: equivalent to :func:`shard_batch`.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), local_batch
+        )
+    count = jax.process_count()
+
+    def to_global(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * count,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape
+        )
+
+    return jax.tree_util.tree_map(to_global, local_batch)
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -256,13 +256,19 @@ class Trainer:
         return self.tuned_max_steps or cfg.max_intersected_triangles
 
     def train_step(self, batch: Dict[str, np.ndarray]):
+        """One optimization step.
+
+        Single-host: ``batch`` is the full global batch. Multi-host
+        (``jax.process_count() > 1``): each process passes ONLY its own
+        rows (its ``parallel.host_batch_slice`` of the global batch);
+        the global sharded arrays are assembled here.
+        """
         if self._auto_tune_steps and not self._tuned:
             self._tuned = True
             self.tune_traversal_steps(batch)
-        batch = {
-            k: jax.device_put(v, self._batch_sharding)
-            for k, v in batch.items()
-        }
+        from ..parallel.sharding import make_global_batch
+
+        batch = make_global_batch(batch, self.device_mesh)
         self.state, metrics = self._train_step(
             self.state, batch, self.train_key, self.mesh_tables
         )
