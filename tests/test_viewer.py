@@ -1,0 +1,87 @@
+"""Viewer server test: page + frame requests against a live server."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tetranerf_tpu.geometry import build_mesh
+from tetranerf_tpu.models import TetraNerf, TetrahedraNerfConfig
+from tetranerf_tpu.training import Trainer, tetranerf_preset
+from tetranerf_tpu.utils import make_sphere_scene
+from tetranerf_tpu.viewer import ViewerServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    points, colors = make_sphere_scene(500, seed=3)
+    mesh = build_mesh(points)
+    config = tetranerf_preset()
+    config.model = TetrahedraNerfConfig(
+        num_samples=8, num_fine_samples=8, max_intersected_triangles=64,
+        field_dim=8, hidden_size=16, compute_dtype="float32",
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    viewer = ViewerServer(trainer, port=0, chunk=512)
+    viewer.start()
+    port = viewer._httpd.server_address[1]
+    yield viewer, port
+    viewer.stop()
+
+
+def test_viewer_page(server):
+    _, port = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+        body = r.read().decode()
+    assert "orbit" in body and "/render" in body
+
+
+@pytest.mark.parametrize("quality", ["fast", "full"])
+def test_viewer_render_png(server, quality):
+    from PIL import Image
+    import io
+
+    _, port = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/render",
+        data=json.dumps(
+            {"position": [0, 2.5, 0.5], "side": 32, "quality": quality}
+        ).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        png = r.read()
+        assert r.headers["Content-Type"] == "image/png"
+    img = np.asarray(Image.open(io.BytesIO(png)))
+    assert img.shape == (32, 32, 3)
+    # The sphere occupies the center; background is white.
+    assert img[0, 0].min() > 200  # corner = background
+    assert img[16, 16].std() >= 0  # center pixel exists/finite
+
+
+def test_viewer_full_uses_cache(server):
+    viewer, port = server
+    # Two identical full-quality requests reuse the cached march.
+    for _ in range(2):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps(
+                {"position": [2.5, 0, 0.3], "side": 32, "quality": "full"}
+            ).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=600).read()
+    assert viewer._cache is not None
+    key = viewer._cache_key
+    # A different pose invalidates the cache key.
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/render",
+        data=json.dumps(
+            {"position": [0, 0, 2.5], "side": 32, "quality": "full"}
+        ).encode(),
+        method="POST",
+    )
+    urllib.request.urlopen(req, timeout=600).read()
+    assert viewer._cache_key != key

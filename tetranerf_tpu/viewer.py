@@ -1,0 +1,238 @@
+"""Interactive web viewer — the nerfstudio-viewer equivalent (SURVEY L0).
+
+The reference gets its viewer from nerfstudio (``setup.py:136-141``
+wiring; SURVEY §3.5: the viewer drives the same per-chunk forward
+pass). This is the standalone TPU-native counterpart: a zero-dependency
+HTTP server (stdlib only) serving an orbit-control page that requests
+frames from the model's render path.
+
+Speed model:
+- while the camera MOVES, frames render in fast mode (coarse-only,
+  reduced samples, reduced resolution);
+- when the camera HOLDS still, the march for that pose is computed once
+  (``Trainer.cache_camera``) and subsequent refinement frames re-shade
+  the cached traversal against the current parameters at full quality —
+  ~1s per 800² frame on one v5e chip (benchmarks/bench_render.py).
+
+Usage::
+
+    python -m tetranerf_tpu.scripts.viewer --checkpoint out/final \
+        --data data/scene [--port 7007]
+
+or programmatically during training::
+
+    viewer = ViewerServer(trainer, port=7007)
+    viewer.start()          # serves in a background thread
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>tetranerf-tpu viewer</title><style>
+body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
+#hud { position:fixed; top:8px; left:8px; background:#0008; padding:6px 10px;
+       border-radius:6px; }
+img { width:100vw; height:100vh; object-fit:contain; display:block;
+      image-rendering:auto; }
+</style></head><body>
+<div id="hud">drag: orbit &middot; wheel: dolly &middot; quality refines on
+hold &middot; <span id="stat"></span></div>
+<img id="view" />
+<script>
+let az = 0.6, el = 0.3, r = 2.5, busy = false, still = 0, gen = 0;
+const img = document.getElementById('view');
+const stat = document.getElementById('stat');
+function pose() {
+  const cx = Math.cos(az)*Math.cos(el)*r, cy = Math.sin(az)*Math.cos(el)*r,
+        cz = Math.sin(el)*r;
+  return [cx, cy, cz];
+}
+async function render(quality) {
+  if (busy) return; busy = true;
+  const myGen = ++gen;
+  const t0 = performance.now();
+  const res = await fetch('/render', {method:'POST', body: JSON.stringify(
+    {position: pose(), quality: quality, side: quality=='full'?800:400})});
+  const blob = await res.blob();
+  if (myGen === gen) {
+    img.src = URL.createObjectURL(blob);
+    stat.textContent = quality + ' ' + ((performance.now()-t0)/1000).toFixed(2) + 's';
+  }
+  busy = false;
+}
+let dragging = false, px = 0, py = 0;
+window.addEventListener('mousedown', e => {dragging = true; px = e.x; py = e.y;});
+window.addEventListener('mouseup', () => dragging = false);
+window.addEventListener('mousemove', e => {
+  if (!dragging) return;
+  az -= (e.x - px) * 0.01; el += (e.y - py) * 0.01;
+  el = Math.max(-1.4, Math.min(1.4, el));
+  px = e.x; py = e.y; still = 0; render('fast');
+});
+window.addEventListener('wheel', e => {
+  r *= Math.exp(e.deltaY * 0.001); r = Math.max(1.2, Math.min(8, r));
+  still = 0; render('fast');
+});
+setInterval(() => { if (++still == 3) render('full'); }, 350);
+render('fast');
+</script></body></html>"""
+
+
+def _look_at(pos):
+    pos = np.asarray(pos, np.float64)
+    forward = -pos / np.linalg.norm(pos)
+    upw = np.array([0.0, 0.0, 1.0])
+    if abs(forward @ upw) > 0.98:
+        upw = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, upw)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, forward)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -forward, pos
+    return c2w
+
+
+def _camera_rays(c2w, side, camera_angle_x=0.8):
+    focal = 0.5 * side / np.tan(0.5 * camera_angle_x)
+    j, i = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    dirs = np.stack(
+        [
+            (i - side / 2 + 0.5) / focal,
+            -(j - side / 2 + 0.5) / focal,
+            -np.ones_like(i, np.float64),
+        ],
+        axis=-1,
+    )
+    d = dirs @ c2w[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(c2w[:3, 3], d.shape)
+    return (
+        np.ascontiguousarray(o.reshape(-1, 3), np.float32),
+        np.ascontiguousarray(d.reshape(-1, 3), np.float32),
+    )
+
+
+class ViewerServer:
+    """Serves the orbit viewer for a :class:`Trainer`'s current model.
+
+    Thread-safe with ongoing training: renders use the trainer's
+    current ``state.params`` snapshot. ``fast`` frames render coarse-only
+    at reduced resolution; ``full`` frames for a held pose march once
+    and re-shade from the cache.
+    """
+
+    def __init__(
+        self,
+        trainer,
+        port: int = 7007,
+        camera_angle_x: float = 0.8,
+        fast_samples: int = 32,
+        chunk: int = 16384,
+    ):
+        self.trainer = trainer
+        self.port = port
+        self.camera_angle_x = camera_angle_x
+        self.fast_samples = fast_samples
+        self.chunk = chunk
+        self._cache_key: Optional[bytes] = None
+        self._cache = None
+        self._lock = threading.Lock()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ------------------------------------------------------------- render
+    def render_frame(self, position, side: int, quality: str) -> bytes:
+        """PNG bytes for a camera at ``position`` looking at the origin."""
+        from PIL import Image
+
+        c2w = _look_at(position)
+        o, d = _camera_rays(c2w, side, self.camera_angle_x)
+        with self._lock:
+            if quality == "full":
+                key = c2w.tobytes() + np.int64(side).tobytes()
+                if self._cache_key != key:
+                    self._cache = self.trainer.cache_camera(
+                        o, d, chunk=self.chunk
+                    )
+                    self._cache_key = key
+                out = self.trainer.render_cached(self._cache)
+            else:
+                out = self.trainer.render_rays(
+                    o,
+                    d,
+                    chunk=self.chunk,
+                    num_samples=self.fast_samples,
+                    num_fine_samples=0,
+                )
+        rgb = np.clip(out["rgb"].reshape(side, side, 3), 0, 1)
+        img = Image.fromarray((rgb * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    # ------------------------------------------------------------- server
+    def _handler(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path not in ("/", "/index.html"):
+                    self.send_error(404)
+                    return
+                body = _PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/render":
+                    self.send_error(404)
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n))
+                    png = viewer.render_frame(
+                        req["position"],
+                        int(req.get("side", 400)),
+                        str(req.get("quality", "fast")),
+                    )
+                except Exception as exc:  # surface render errors to the UI
+                    self.send_error(500, str(exc))
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+
+        return Handler
+
+    def start(self, background: bool = True):
+        self._httpd = ThreadingHTTPServer(
+            ("0.0.0.0", self.port), self._handler()
+        )
+        if background:
+            t = threading.Thread(
+                target=self._httpd.serve_forever, daemon=True
+            )
+            t.start()
+        else:
+            self._httpd.serve_forever()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
