@@ -117,3 +117,45 @@ def test_lpips_class_offline_npz(lpips_params, rng, tmp_path):
     assert np.isfinite(v) and v > 0
     out = compute_image_metrics(img, noisy, lpips=metric)
     assert "lpips" in out and out["lpips"] == pytest.approx(v, rel=1e-5)
+
+
+def test_ssim_matches_float64_reference(image_pair):
+    """Guards the conv precision: TPU decomposes f32 dots into bf16 MXU
+    passes unless precision=HIGHEST is forced, which corrupts the
+    E[x^2]-E[x]^2 cancellation (observed ~0.05 absolute SSIM error and
+    values > 1 on real renders)."""
+    img, noisy = image_pair
+
+    def ref(a, b):
+        k = np.exp(-0.5 * ((np.arange(11) - 5) / 1.5) ** 2)
+        k = (k / k.sum()).astype(np.float64)
+
+        def filt(x):
+            out = np.empty(
+                (x.shape[0] - 10, x.shape[1] - 10, x.shape[2]), np.float64
+            )
+            for c in range(x.shape[2]):
+                t = np.apply_along_axis(
+                    lambda r: np.convolve(r, k, mode="valid"), 1,
+                    x[:, :, c].astype(np.float64),
+                )
+                out[:, :, c] = np.apply_along_axis(
+                    lambda r: np.convolve(r, k, mode="valid"), 0, t
+                )
+            return out
+
+        a64, b64 = a.astype(np.float64), b.astype(np.float64)
+        ma, mb = filt(a64), filt(b64)
+        va = filt(a64 * a64) - ma * ma
+        vb = filt(b64 * b64) - mb * mb
+        cov = filt(a64 * b64) - ma * mb
+        c1, c2 = 1e-4, 9e-4
+        return np.mean(
+            ((2 * ma * mb + c1) * (2 * cov + c2))
+            / ((ma**2 + mb**2 + c1) * (va + vb + c2))
+        )
+
+    ours = float(mipnerf_ssim(img, noisy))
+    expected = ref(img, noisy)
+    assert ours == pytest.approx(expected, abs=2e-4)
+    assert ours <= 1.0 + 1e-4

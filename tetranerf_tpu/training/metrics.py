@@ -31,13 +31,22 @@ def psnr(image: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0):
 
 
 def _filter2d(img, kernel):
-    """Separable 2-D filter with valid padding. img [H, W, C], kernel [K]."""
+    """Separable 2-D filter with valid padding. img [H, W, C], kernel [K].
+
+    The convolution MUST run at full f32 precision: TPU decomposes f32
+    dots into bf16 MXU passes by default, and the ``E[x^2] - E[x]^2``
+    variance cancellation downstream amplifies that error into SSIM
+    values that are off by ~0.05 and can exceed 1.
+    """
     img = jnp.moveaxis(img, -1, 0)  # [C, H, W]
+    conv = functools.partial(
+        jnp.convolve, mode="valid", precision=jax.lax.Precision.HIGHEST
+    )
 
     def conv2(ch):
-        t = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(ch)
+        t = jax.vmap(lambda row: conv(row, kernel))(ch)
         return jax.vmap(
-            lambda col: jnp.convolve(col, kernel, mode="valid"),
+            lambda col: conv(col, kernel),
             in_axes=1,
             out_axes=1,
         )(t)
