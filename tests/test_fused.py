@@ -172,3 +172,37 @@ def test_biased_warp_range_matches_compacted(ball_mesh, rng):
         biased_warp(modular.num_cells, bounds, jnp.asarray(bins))
     )
     np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_occupancy_early_termination(ball_mesh):
+    """With saturated occupancy in the packed rows, rays terminate after
+    ~2 cells (transmittance proxy (1-0.995)^2 < 1e-3) instead of
+    marching the whole chord; occupancy=0 (initial state) is exact."""
+    rng = np.random.default_rng(0)
+    o, d = _rays(rng, 32)
+    base = march_features(ball_mesh, None, o, d, max_steps=128)
+    occupied = ball_mesh.with_occupancy(
+        np.ones(ball_mesh.num_cells, np.float32)
+    )
+    # occupancy present but termination off -> identical result
+    off = march_features(occupied, None, o, d, max_steps=128)
+    np.testing.assert_array_equal(
+        np.asarray(base.cells), np.asarray(off.cells)
+    )
+    term = march_features(
+        occupied, None, o, d, max_steps=128, use_occupancy=True
+    )
+    hit = np.asarray(term.hit)
+    assert hit.any()
+    nv_term = np.asarray(term.num_valid)[hit]
+    nv_base = np.asarray(base.num_valid)[np.asarray(base.hit)]
+    assert nv_term.max() <= 2
+    assert nv_base.max() > 4  # the full march goes much deeper
+    assert not np.asarray(term.overflow).any()  # termination != overflow
+    # Zero occupancy terminates nothing even with the flag on.
+    zero = march_features(
+        ball_mesh, None, o, d, max_steps=128, use_occupancy=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.cells), np.asarray(zero.cells)
+    )

@@ -337,3 +337,28 @@ def test_fast_render_sample_override(scene):
     mask = np.asarray(full["ray_mask"]).astype(bool)
     err = np.abs(out["rgb"][mask] - full["rgb"][mask]).mean()
     assert err < 0.2
+
+
+def test_occupancy_field_training(scene):
+    """use_occupancy_field: the trainer maintains the EMA, writes it into
+    the packed march rows, and training still converges."""
+    mesh, colors = scene
+    config = tetranerf_preset(learning_rate=1e-2, learning_rate_final=1e-2)
+    config.model = _small_config(
+        use_occupancy_field=True, occupancy_update_every=3
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(9)
+    o, d = sample_sphere_rays(rng, 256)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    first = float(trainer.train_step(batch)["loss"])
+    for _ in range(60):
+        metrics = trainer.train_step(batch)
+    last = float(metrics["loss"])
+    occ = np.asarray(trainer._occ)
+    assert occ.max() > 0.01  # EMA saw real weights
+    assert (
+        np.asarray(trainer.mesh_tables.march_table[:, 24]).max() > 0.01
+    )  # packed into the march rows
+    assert np.isfinite(last) and last < first

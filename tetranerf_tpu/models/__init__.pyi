@@ -32,6 +32,9 @@ class TetrahedraNerfConfig:
     background_color: Literal["random", "last_sample", "black", "white"]
     appearance_embed_dim: int
     use_occupancy_field: bool
+    occupancy_update_every: int
+    occupancy_threshold: float
+    occupancy_decay: float
     compute_dtype: str
     remat_mlps: bool
     ray_buckets: int
@@ -58,6 +61,9 @@ class TetrahedraNerfConfig:
         background_color: str = ...,
         appearance_embed_dim: int = ...,
         use_occupancy_field: bool = ...,
+        occupancy_update_every: int = ...,
+        occupancy_threshold: float = ...,
+        occupancy_decay: float = ...,
         compute_dtype: str = ...,
         remat_mlps: bool = ...,
         ray_buckets: int = ...,

@@ -42,8 +42,17 @@ class TetrahedraNerfConfig:
     """Per-image appearance embedding dimension (0 = disabled)."""
 
     use_occupancy_field: bool = False
-    """Maintain an EMA per-cell occupancy field (reference keeps the buffer
-    but never reads it in the forward pass; ``model.py:256-265``)."""
+    """Maintain an EMA per-cell occupancy field and use it for
+    transmittance-based early termination in the march (the reference
+    registers the buffer and ships a scatter-EMA kernel for it but never
+    wires either into the forward pass; ``model.py:256-265``,
+    ``src/tetrahedra_tracer.cu:55-113``)."""
+    occupancy_update_every: int = 16
+    """Train steps between occupancy EMA updates (use_occupancy_field)."""
+    occupancy_threshold: float = 1e-3
+    """Terminate a ray when its transmittance proxy falls below this."""
+    occupancy_decay: float = 0.95
+    """EMA decay for the per-cell max-weight occupancy."""
 
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"

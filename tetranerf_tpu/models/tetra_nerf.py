@@ -363,6 +363,8 @@ class TetraNerf:
                 directions,
                 max_steps,
                 hops=cfg.traversal_hops,
+                use_occupancy=cfg.use_occupancy_field,
+                occ_threshold=cfg.occupancy_threshold,
             )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 

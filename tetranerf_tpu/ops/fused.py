@@ -91,6 +91,8 @@ def march_features(
     max_steps: int = 512,
     entry_walk_steps: int = 16,
     hops: int = 1,
+    use_occupancy: bool = False,
+    occ_threshold: float = 1e-3,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -102,7 +104,16 @@ def march_features(
     gather throughput is limited by row *count*, so fetching a cell
     together with its neighbors' rows advances two cells per sequential
     gather, halving the traversal's critical path. ``hops=1`` fetches one
-    24-float row per step.
+    64-float row per step.
+
+    ``use_occupancy`` (hops=1 only) terminates a ray once its
+    transmittance proxy ``prod(1 - occupancy[cell])`` over crossed cells
+    drops below ``occ_threshold`` — everything behind is occluded. The
+    per-cell occupancy rides in the packed march row (column 24,
+    ``TetrahedraMesh.with_occupancy``), so the check is free; rays stop
+    contributing march work once every ray in the batch is done (the
+    chunked while_loop exit). Zero occupancy (the initial state) never
+    terminates, so training before the first occupancy update is exact.
     """
     origins = jnp.asarray(origins)
     directions = jnp.asarray(directions)
@@ -207,9 +218,16 @@ def march_features(
         table = mesh.march_table
 
         def step(state, i):
-            c, t, done, vids_prev, pos_prev = state
+            c, t, done, vids_prev, pos_prev, trans = state
             row = table[jnp.maximum(c, 0)]
-            new_state, e = hop(c, t, done, row)
+            (new_c, new_t, new_done), e = hop(c, t, done, row)
+            if use_occupancy:
+                # Transmittance proxy through the crossed cell; the cell
+                # itself is still emitted, later cells are occluded.
+                occ = jnp.minimum(row[..., 24], 0.995)
+                trans = trans * jnp.where(e[3], 1.0 - occ, 1.0)
+                new_done = new_done | (trans < occ_threshold)
+            new_state = (new_c, new_t, new_done)
             vids_cur = e[5]  # [R, 4] current cell's vertex ids
             # Per-ray vertex-stream dedup: a face-adjacent step shares 3
             # of 4 vertices with the previous cell, so each step
@@ -226,7 +244,7 @@ def march_features(
             new_vid = jnp.sum(
                 jnp.where(is_new, vids_cur, 0), axis=-1
             ).astype(jnp.int32)
-            return (*new_state, vids_cur, pos_cur), (
+            return (*new_state, vids_cur, pos_cur, trans), (
                 e[0],
                 e[1],
                 e[4],
@@ -237,7 +255,14 @@ def march_features(
         pos0 = jnp.broadcast_to(
             jnp.arange(4, dtype=jnp.int32)[None, :], (num_rays, 4)
         )
-        init = (entry_cell, t_entry, ~hit, vids0, pos0)
+        init = (
+            entry_cell,
+            t_entry,
+            ~hit,
+            vids0,
+            pos0,
+            jnp.ones(num_rays, jnp.float32),
+        )
 
         # Early-exit march: a while_loop over CHUNK-step scan blocks that
         # stops once EVERY ray is done, so the sequential-gather chain

@@ -63,6 +63,7 @@ class Trainer:
         auto_tune_steps: bool = ...,
     ) -> None: ...
     def tune_traversal_steps(self, batch: Batch) -> int: ...
+    def update_occupancy(self, batch: Batch) -> None: ...
     def train_step(self, batch: Batch) -> Metrics: ...
     def eval_batch(self, batch: Batch) -> Dict[str, jax.Array]: ...
     def render_rays(

@@ -174,6 +174,10 @@ class Trainer:
         self._max_in_flight = 4
         # Jitted eval variants keyed by sample-budget override.
         self._fast_eval_fns: Dict[Any, Callable] = {}
+        # Occupancy early-termination state (use_occupancy_field).
+        self._occ = None
+        self._occ_update = None
+        self._step_count = 0
 
     def _build_steps(self):
         """(Re)build the jitted train/eval steps with the current tuned
@@ -181,6 +185,7 @@ class Trainer:
         rep, bsh = self._rep, self._batch_sharding
         if hasattr(self, "_fast_eval_fns"):
             self._fast_eval_fns.clear()  # bounds baked at trace time
+            self._occ_update = None
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
@@ -255,6 +260,104 @@ class Trainer:
         self._build_steps()
         return self.tuned_max_steps or cfg.max_intersected_triangles
 
+    # ------------------------------------------------------------ occupancy
+    def _occupancy_update_fn(self):
+        """Jitted EMA update of the per-cell occupancy from the current
+        field: a coarse inference pass renders per-sample weights, the
+        per-interval max weight is reduced gather-free, and cells take
+        ``max(decay * occ, observed)`` — the role the reference built
+        ``scatter_ema_uint32`` for (``src/tetrahedra_tracer.cu:55-113``)
+        but never wired in."""
+        if self._occ_update is not None:
+            return self._occ_update
+        from ..ops.fused import (
+            biased_warp_range,
+            march_features,
+            ray_bounds,
+            sample_features,
+        )
+        from ..ops.rendering import render_weights
+        from ..ops.sampling import stratified_bins
+
+        model = self.model
+        cfg = model.config
+        max_steps = self.tuned_max_steps or cfg.max_intersected_triangles
+        nsamp = cfg.num_samples
+
+        def update(params, occ, origins, directions, mesh):
+            res = march_features(
+                mesh,
+                params["tetrahedra_field"],
+                origins,
+                directions,
+                max_steps,
+                use_occupancy=True,
+                occ_threshold=cfg.occupancy_threshold,
+            )
+            nears, fars, first, nk, mask = ray_bounds(res)
+            bins01 = stratified_bins(None, origins.shape[0], nsamp)
+            euclid = nears[:, None] + bins01 * (fars - nears)[:, None]
+            if cfg.use_biased_sampler:
+                euclid = biased_warp_range(
+                    res, first, nk, nears, fars, euclid
+                )
+            distances = (euclid[:, 1:] + euclid[:, :-1]) / 2.0
+            deltas = euclid[:, 1:] - euclid[:, :-1]
+            feats, smask = sample_features(res, distances, mask)
+            _, dens = model._field_mlps(
+                params, feats, directions, None, False
+            )
+            dens = jnp.where(smask, dens, 0.0)
+            w = render_weights(dens, deltas)  # [R, S]
+            # Per-interval max sample weight, gather-free.
+            t1 = res.t1
+            max_t = t1.shape[1]
+            gt = t1[:, None, :] > distances[:, :, None]  # [R, S, T]
+            k = max_t - jnp.sum(gt.astype(jnp.int32), axis=-1)
+            slots = jnp.arange(max_t, dtype=jnp.int32)[None, None, :]
+            onehot = slots == jnp.minimum(k, max_t - 1)[:, :, None]
+            w_int = jnp.max(
+                jnp.where(
+                    onehot & smask[:, :, None], w[:, :, None], 0.0
+                ),
+                axis=1,
+            )  # [R, T]
+            cells_flat = jnp.where(res.valid, res.cells, -1).reshape(-1)
+            vals = jnp.where(cells_flat >= 0, w_int.reshape(-1), 0.0)
+            occ = occ * cfg.occupancy_decay
+            # Invalid slots write max(occ[0], 0) == occ[0]: a no-op.
+            occ = occ.at[jnp.maximum(cells_flat, 0)].max(vals)
+            return occ
+
+        self._occ_update = jax.jit(update, donate_argnums=(1,))
+        return self._occ_update
+
+    def update_occupancy(self, batch: Dict[str, np.ndarray]):
+        """Refresh the occupancy EMA + the packed march-table column."""
+        if self._occ is None:
+            self._occ = jax.device_put(
+                jnp.zeros(self.model.mesh.num_cells, jnp.float32), self._rep
+            )
+        o = jax.device_put(
+            np.asarray(batch["origins"], np.float32), self._batch_sharding
+        )
+        d = jax.device_put(
+            np.asarray(batch["directions"], np.float32),
+            self._batch_sharding,
+        )
+        self._occ = self._occupancy_update_fn()(
+            self.state.params, self._occ, o, d, self.mesh_tables
+        )
+        self.mesh_tables = dataclasses.replace(
+            self.mesh_tables,
+            march_table=jax.device_put(
+                jnp.asarray(self.mesh_tables.march_table)
+                .at[:, 24]
+                .set(self._occ),
+                self._rep,
+            ),
+        )
+
     def train_step(self, batch: Dict[str, np.ndarray]):
         """One optimization step.
 
@@ -266,6 +369,14 @@ class Trainer:
         if self._auto_tune_steps and not self._tuned:
             self._tuned = True
             self.tune_traversal_steps(batch)
+        cfg = self.model.config
+        if (
+            cfg.use_occupancy_field
+            and cfg.occupancy_update_every
+            and self._step_count % cfg.occupancy_update_every == 0
+        ):
+            self.update_occupancy(batch)
+        self._step_count += 1
         from ..parallel.sharding import make_global_batch
 
         batch = make_global_batch(batch, self.device_mesh)
