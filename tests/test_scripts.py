@@ -172,3 +172,38 @@ def test_process_images_arg_validation():
 
     with pytest.raises(SystemExit, match="exactly one"):
         pi_main(["--output", "/tmp/x"])
+
+
+def test_train_pointcloud_model_filter(tmp_path, rng):
+    """--train-pointcloud: the prior model written for re-triangulation
+    must contain only the training images (COLMAP binary gating means the
+    triangulator itself can't run here; the model filtering logic can)."""
+    from tetranerf_tpu.utils import colmap as cm
+
+    cameras = {
+        1: cm.Camera(1, "PINHOLE", 8, 8, np.array([4.0, 4.0, 4.0, 4.0]))
+    }
+    images = {}
+    for i in range(9):
+        images[i + 1] = cm.Image(
+            image_id=i + 1,
+            qvec=np.array([1.0, 0, 0, 0]),
+            tvec=np.array([0.0, 0, float(i)]),
+            camera_id=1,
+            name=f"im_{i:02d}.png",
+            xys=np.zeros((0, 2)),
+            point3D_ids=np.zeros((0,), np.int64),
+        )
+    ordered = sorted(images.values(), key=lambda im: im.name)
+    eval_idx = set(range(0, len(ordered), 8))
+    train_meta = {
+        im.image_id: im for i, im in enumerate(ordered) if i not in eval_idx
+    }
+    assert len(train_meta) == 7  # images 0 and 8 held out
+    prior = tmp_path / "prior"
+    cm.write_model(cameras, train_meta, {}, prior, binary=False)
+    cams2, imgs2, pts2 = cm.read_model(prior)
+    assert set(im.name for im in imgs2.values()) == {
+        f"im_{i:02d}.png" for i in range(9) if i not in (0, 8)
+    }
+    assert len(pts2) == 0

@@ -32,6 +32,12 @@ def main(argv=None):
     parser.add_argument("--dense", action="store_true",
                         help="also build a dense point cloud (slow)")
     parser.add_argument("--eval-interval", type=int, default=8)
+    parser.add_argument(
+        "--train-pointcloud", action="store_true",
+        help="also triangulate a point cloud from TRAIN images only, so "
+             "eval views contribute no geometry (reference "
+             "process_images.py:239-276)",
+    )
     args = parser.parse_args(argv)
 
     if (args.images is None) == (args.video is None):
@@ -77,6 +83,33 @@ def main(argv=None):
         applied_scale=scale,
     )
     common.export_points_ply(points, output / "sparse.ply")
+    if args.train_pointcloud:
+        # Re-triangulate against the existing database using only the
+        # training images' registrations: eval views then contribute no
+        # 3D points (the reference's separate training point cloud,
+        # process_images.py:239-276).
+        eval_idx = set(range(0, len(ordered), args.eval_interval))
+        train_meta = {
+            im.image_id: im
+            for i, im in enumerate(ordered)
+            if i not in eval_idx
+        }
+        prior = output / "colmap" / "sparse_train_prior"
+        cm.write_model(cameras, train_meta, {}, prior, binary=False)
+        tri_out = output / "colmap" / "sparse_train"
+        tri_out.mkdir(parents=True, exist_ok=True)
+        colmap_bin = common.require_binary("colmap")
+        common.run_command(
+            [
+                colmap_bin, "point_triangulator",
+                "--database_path", output / "colmap" / "database.db",
+                "--image_path", images_dir,
+                "--input_path", prior,
+                "--output_path", tri_out,
+            ]
+        )
+        _, _, train_points = cm.read_model(tri_out)
+        common.export_points_ply(train_points, output / "sparse_train.ply")
     if args.dense:
         fused = output / "colmap" / "dense" / "fused.ply"
         if fused.exists():

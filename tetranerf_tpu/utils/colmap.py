@@ -229,11 +229,20 @@ def read_cameras_text(path) -> Dict[int, Camera]:
 def read_images_text(path) -> Dict[int, Image]:
     images = {}
     with open(path) as f:
+        # Keep BLANK lines: an image with zero observations has an empty
+        # points2D line (COLMAP writes one), and dropping it would shift
+        # the image/points pairing for every following image.
         lines = [
             ln.strip()
             for ln in f
-            if ln.strip() and not ln.strip().startswith("#")
+            if not ln.strip().startswith("#")
         ]
+    while lines and not lines[0]:
+        lines.pop(0)
+    if len(lines) % 2:
+        # Final image's empty points2D line lost to a missing trailing
+        # newline.
+        lines.append("")
     for head, pts in zip(lines[0::2], lines[1::2]):
         parts = head.split()
         iid = int(parts[0])
