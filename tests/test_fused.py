@@ -66,8 +66,14 @@ def test_two_hop_features_match_one_hop(ball_mesh, rng):
     )
 
 
-def test_fused_features_match_interpolation(ball_mesh, rng):
-    """Endpoint-lerped features == gather-per-sample interpolation."""
+def test_fused_features_match_interpolation(ball_mesh):
+    """Endpoint-lerped features == gather-per-sample interpolation.
+
+    Uses a LOCAL rng: the error budget below is dominated by sliver-cell
+    f32 amplification, which varies with the ray draw — a shared
+    session rng made this test's outcome depend on suite order.
+    """
+    rng = np.random.default_rng(1234)
     o, d = _rays(rng, 16)
     field = jnp.asarray(
         rng.normal(size=(ball_mesh.num_vertices, 16)).astype(np.float32)

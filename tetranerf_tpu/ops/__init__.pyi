@@ -70,6 +70,8 @@ def march_features(
     max_steps: int = ...,
     entry_walk_steps: int = ...,
     hops: int = ...,
+    use_occupancy: bool = ...,
+    occ_threshold: float = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...
