@@ -7,7 +7,6 @@ by the reference model (``tetranerf/nerfstudio/model.py:632-638``).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
