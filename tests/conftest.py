@@ -31,9 +31,14 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def ball_points(rng):
-    """A generic-position point cloud: 400 points in a unit ball."""
-    pts = rng.normal(size=(2000, 3))
+def ball_points():
+    """A generic-position point cloud: 400 points in a unit ball.
+
+    Uses a PRIVATE generator: the session ``rng`` is mutable and shared,
+    so drawing from it here would make the mesh (and every
+    sliver-sensitive tolerance downstream) depend on which tests ran
+    first."""
+    pts = np.random.default_rng(7).normal(size=(2000, 3))
     pts = pts[np.linalg.norm(pts, axis=1) < 2.5][:400]
     return pts * 0.4
 

@@ -212,3 +212,74 @@ def test_occupancy_early_termination(ball_mesh):
     np.testing.assert_array_equal(
         np.asarray(base.cells), np.asarray(zero.cells)
     )
+
+
+def test_compaction_bit_identical(ball_mesh):
+    """Per-ray compaction must reproduce the uncompacted march exactly:
+    same intervals, stream, features, hit/overflow flags."""
+    rng = np.random.default_rng(3)
+    o, d = _rays(rng, 256)
+    # Mix in rays that miss the hull so done-at-start rows get compacted.
+    o2, d2 = _rays(rng, 64)
+    d2 = -d2  # point away from the ball -> miss
+    o = np.concatenate([o, o2])
+    d = np.concatenate([d, d2])
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 8)).astype(np.float32)
+    )
+    base = march_features(ball_mesh, field, o, d, max_steps=64)
+    comp = march_features(
+        ball_mesh, field, o, d, max_steps=64, compact_stages=2
+    )
+    np.testing.assert_array_equal(np.asarray(base.cells), np.asarray(comp.cells))
+    np.testing.assert_array_equal(np.asarray(base.t1), np.asarray(comp.t1))
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(comp.hit))
+    np.testing.assert_array_equal(
+        np.asarray(base.overflow), np.asarray(comp.overflow)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.stream.vids), np.asarray(comp.stream.vids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.stream.pos), np.asarray(comp.stream.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.stream.bary), np.asarray(comp.stream.bary)
+    )
+    np.testing.assert_array_equal(np.asarray(base.feats), np.asarray(comp.feats))
+
+
+def test_compaction_budget_exhaustion_overflow(ball_mesh):
+    """Rays still active when the step budget runs out mid-cascade must
+    keep done=False and surface as overflow, exactly like the
+    uncompacted march."""
+    rng = np.random.default_rng(4)
+    o, d = _rays(rng, 256)
+    base = march_features(ball_mesh, None, o, d, max_steps=16)
+    comp = march_features(
+        ball_mesh, None, o, d, max_steps=16, compact_stages=2
+    )
+    assert np.asarray(base.overflow).any()  # bound is adversarially tight
+    np.testing.assert_array_equal(
+        np.asarray(base.overflow), np.asarray(comp.overflow)
+    )
+    np.testing.assert_array_equal(np.asarray(base.cells), np.asarray(comp.cells))
+
+
+def test_compaction_with_occupancy(ball_mesh):
+    """Compaction composes with occupancy termination (the combination
+    that converts early exits into wall-clock)."""
+    rng = np.random.default_rng(5)
+    o, d = _rays(rng, 256)
+    occupied = ball_mesh.with_occupancy(
+        np.ones(ball_mesh.num_cells, np.float32)
+    )
+    base = march_features(
+        occupied, None, o, d, max_steps=64, use_occupancy=True
+    )
+    comp = march_features(
+        occupied, None, o, d, max_steps=64, use_occupancy=True,
+        compact_stages=2,
+    )
+    np.testing.assert_array_equal(np.asarray(base.cells), np.asarray(comp.cells))
+    np.testing.assert_array_equal(np.asarray(base.t1), np.asarray(comp.t1))

@@ -61,6 +61,15 @@ class TetrahedraNerfConfig:
     """Recompute MLP activations in the backward pass instead of saving
     them — they are the step's largest residuals ([R, S, 128] each; an
     OOM at 32K rays) while their recompute is nearly free."""
+    fused_mlps: bool = False
+    """Run the base/density/color MLP stack as one fully-fused Pallas
+    kernel (weights resident in VMEM, activations never touch HBM —
+    the tiny-cuda-nn trick). Falls back to the XLA path when
+    ``input_fourier_frequencies > 0``. Measured ~3% SLOWER end-to-end
+    than the XLA remat path on v5e (benchmarks/ab_fused_compact.py:
+    193.4 vs 188.0 ms/step at 8192 rays) — XLA's own fusion of these
+    tiny matmul chains is already HBM-efficient; kept for hardware
+    where the balance differs."""
     ray_buckets: int = 1
     """1 = march every ray to the batch-max bound; 2 = sort rays by
     hull-chord length and march the short half with
@@ -72,6 +81,12 @@ class TetrahedraNerfConfig:
     needs ``build_mesh(two_hop_table=True)``). Measured neutral on v5e —
     the march is gather-throughput-bound, not latency-bound — kept for
     hardware where the balance differs."""
+    march_compaction: int = 2
+    """Per-ray compaction stages in the march (hops=1): each time at
+    most half the rays are still marching, actives are packed into a
+    dense prefix and the march continues at half width. Bit-identical
+    output; converts per-ray early termination (occupancy, short chords,
+    missed rays) into wall-clock. 0 disables."""
     far_plane: float = 1e3
     """Depth reported for rays that hit nothing (reference uses the
     collider's far plane, ``model.py:645-650``)."""

@@ -151,7 +151,16 @@ class TetraNerf:
         [R, S, 128] are the largest residuals of the step (4GB each at
         32K rays — an immediate OOM; several GB of HBM write+read traffic
         even at 8K), while recomputing them in the backward is nearly
-        free (the MXU is idle most of the step)."""
+        free (the MXU is idle most of the step).
+
+        With ``fused_mlps`` the whole stack instead runs as one Pallas
+        kernel whose activations live in VMEM only — strictly better
+        than remat (no HBM residuals AND no XLA activation traffic in
+        either pass)."""
+        if self.config.fused_mlps and self.config.input_fourier_frequencies == 0:
+            return self._field_mlps_fused(
+                params, field_values, directions, camera_indices, train
+            )
         if not self.config.remat_mlps:
             return self._field_mlps(
                 params, field_values, directions, camera_indices, train
@@ -160,6 +169,97 @@ class TetraNerf:
             lambda p, fv, d, ci: self._field_mlps(p, fv, d, ci, train)
         )
         return fn(params, field_values, directions, camera_indices)
+
+    def _field_mlps_fused(
+        self, params, field_values, directions, camera_indices, train
+    ):
+        """Fully-fused Pallas MLP stack (``ops/pallas_mlp.py``).
+
+        The per-ray first-head-layer contribution (direction encoding
+        [+ appearance embedding] rows of the head weight + its bias) is
+        computed here at [R, H] cost and broadcast over samples inside
+        the kernel; the base-feature rows go in as a separate operand.
+        Semantics match :meth:`_field_mlps` (reference
+        ``model.py:602-621``)."""
+        from ..ops.pallas_mlp import fused_field_mlps
+
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        head0 = params["mlp_head"][0]
+        w0, b0 = head0["kernel"], head0["bias"]
+        d_dir = self._dir_enc_dim
+        hdim = cfg.hidden_size
+        dir_enc = nerf_encoding(directions, 4, 0.0, 4.0)  # [R, 27]
+        head_dir = (
+            jnp.dot(
+                dir_enc.astype(dtype),
+                w0[:d_dir].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b0
+        )
+        if cfg.appearance_embed_dim > 0:
+            emb = params["appearance_embedding"]
+            if train and camera_indices is not None:
+                app = emb[camera_indices]  # [R, D]
+            else:
+                app = jnp.broadcast_to(
+                    emb.mean(axis=0), (dir_enc.shape[0], emb.shape[1])
+                )
+            head_dir = head_dir + jnp.dot(
+                app.astype(dtype),
+                w0[d_dir + hdim :].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+        weights = []
+        for layer in params["mlp_base"]:
+            weights += [layer["kernel"], layer["bias"]]
+        weights += [
+            params["field_output_density"]["kernel"],
+            params["field_output_density"]["bias"],
+            w0[d_dir : d_dir + hdim],
+        ]
+        for layer in params["mlp_head"][1:]:
+            weights += [layer["kernel"], layer["bias"]]
+        weights += [
+            params["field_output_color"]["kernel"],
+            params["field_output_color"]["bias"],
+        ]
+        static = (
+            len(params["mlp_base"]),
+            len(params["mlp_head"]),
+            cfg.compute_dtype,
+            None,
+        )
+        rgb, density = fused_field_mlps(
+            static, field_values, head_dir, *weights
+        )
+        return rgb, density[..., 0]
+
+    def _density_mlp(
+        self, params, field_values, directions, camera_indices, train
+    ):
+        """Density only — the coarse PDF round never consumes rgb.
+
+        The fused kernel gets an explicit head-free variant (an opaque
+        kernel can't be DCE'd); the XLA path just discards rgb and lets
+        XLA prune the color head."""
+        cfg = self.config
+        if cfg.fused_mlps and cfg.input_fourier_frequencies == 0:
+            from ..ops.pallas_mlp import fused_density_mlp
+
+            weights = []
+            for layer in params["mlp_base"]:
+                weights += [layer["kernel"], layer["bias"]]
+            weights += [
+                params["field_output_density"]["kernel"],
+                params["field_output_density"]["bias"],
+            ]
+            static = (len(params["mlp_base"]), cfg.compute_dtype, None)
+            return fused_density_mlp(static, field_values, *weights)[..., 0]
+        return self._field_mlps_remat(
+            params, field_values, directions, camera_indices, train
+        )[1]
 
     def _field_mlps(self, params, field_values, directions, camera_indices, train):
         cfg = self.config
@@ -365,6 +465,7 @@ class TetraNerf:
                 hops=cfg.traversal_hops,
                 use_occupancy=cfg.use_occupancy_field,
                 occ_threshold=cfg.occupancy_threshold,
+                compact_stages=cfg.march_compaction,
             )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 
@@ -389,9 +490,18 @@ class TetraNerf:
             return distances, deltas, smask, field_values
 
         if n_fine > 0:
+            # The coarse round exists only to shape the PDF resampler,
+            # whose weights are stop-gradiented below (reference detaches
+            # them the same way via nerfstudio's PDFSampler). Cutting
+            # gradients at the *inputs* — not just the output — makes the
+            # dead coarse backward explicit so no autodiff rule ever
+            # fires for it (DCE of a stop-gradiented output is otherwise
+            # left to XLA's discretion).
+            sg = jax.lax.stop_gradient
             distances, deltas, smask, field_values = run_field(euclid_bins)
-            rgb_c, density_c = self._field_mlps_remat(
-                params, field_values, directions, rays.camera_indices, train
+            density_c = self._density_mlp(
+                sg(params), sg(field_values), directions,
+                rays.camera_indices, train
             )
             density_c = jnp.where(smask, density_c, 0.0)
             weights_c = render_weights(density_c, deltas)

@@ -72,6 +72,7 @@ def march_features(
     hops: int = ...,
     use_occupancy: bool = ...,
     occ_threshold: float = ...,
+    compact_stages: int = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...

@@ -93,6 +93,7 @@ def march_features(
     hops: int = 1,
     use_occupancy: bool = False,
     occ_threshold: float = 1e-3,
+    compact_stages: int = 0,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -114,6 +115,14 @@ def march_features(
     contributing march work once every ray in the batch is done (the
     chunked while_loop exit). Zero occupancy (the initial state) never
     terminates, so training before the first occupancy update is exact.
+
+    ``compact_stages`` (hops=1 only) enables per-ray compaction: each
+    time at most half the rays remain active, they are packed into a
+    dense prefix and the march continues at half width, so total gather
+    work tracks the per-ray step distribution instead of the batch max.
+    The result is bit-identical to the uncompacted march (stages carry
+    full row history and are scattered back). This is what converts
+    occupancy/early termination into wall-clock on a SIMD machine.
     """
     origins = jnp.asarray(origins)
     directions = jnp.asarray(directions)
@@ -127,12 +136,12 @@ def march_features(
     entry_cell = _walk(mesh, seed, p_entry, entry_walk_steps)
     hit = hit & (entry_cell >= 0)
 
-    def crossings(row, t):
+    def crossings(row, t, o, d):
         """Face-crossing distances from position t given a packed row."""
         planes_c, neighbors, vertex_ids = _unpack_row(row)
-        p = origins + t[:, None] * directions
+        p = o + t[:, None] * d
         b = _eval_planes(planes_c, p)
-        den = jnp.sum(planes_c[..., :3] * directions[:, None, :], axis=-1)
+        den = jnp.sum(planes_c[..., :3] * d[:, None, :], axis=-1)
         t_cross = t[:, None] - b / jnp.where(den == 0.0, jnp.inf, den)
         return b, den, t_cross, neighbors, vertex_ids
 
@@ -147,20 +156,22 @@ def march_features(
 
     c0_safe = jnp.maximum(entry_cell, 0)
     row0 = mesh.march_table[c0_safe]
-    b0, den0, t_cross0, _, vids0 = crossings(row0, t_in + eps_t)
+    b0, den0, t_cross0, _, vids0 = crossings(
+        row0, t_in + eps_t, origins, directions
+    )
     t_entry = jnp.max(jnp.where(den0 > 0.0, t_cross0, -jnp.inf), axis=-1)
     t_entry = jnp.where(jnp.isfinite(t_entry), t_entry, t_in)
     t_cap = t_out + eps_t
 
     bary_entry = b0 + (t_entry - (t_in + eps_t))[:, None] * den0
 
-    def hop(c, t, done, row):
+    def hop(c, t, done, row, o, d, cap):
         """One marching hop given the cell's packed 24-float row."""
-        b, den, t_cross, neighbors, vertex_ids = crossings(row, t)
+        b, den, t_cross, neighbors, vertex_ids = crossings(row, t, o, d)
         k_exit, t_exit, found, bary_exit = exit_face(b, den, t_cross, t)
         nxt = jnp.take_along_axis(neighbors, k_exit[:, None], axis=1)[:, 0]
         valid = ~done & found & (c >= 0)
-        new_done = done | ~found | (nxt < 0) | (t_exit >= t_cap)
+        new_done = done | ~found | (nxt < 0) | (t_exit >= cap)
         emit_cell = jnp.where(valid, c, -1)
         emit_t = jnp.where(valid, t_exit, jnp.inf)
         new_c = jnp.where(valid, nxt, c)
@@ -187,13 +198,17 @@ def march_features(
             row2 = table2[jnp.maximum(c, 0)][:, :120].reshape(
                 num_rays, 5, 24
             )
-            (cB, tB, doneB), emitA = hop(c, t, done, row2[:, 0])
+            (cB, tB, doneB), emitA = hop(
+                c, t, done, row2[:, 0], origins, directions, t_cap
+            )
             # Neighbor block chosen by hop A's exit face.
             k1 = emitA[2]
             rowB = jnp.take_along_axis(
                 row2[:, 1:], k1[:, None, None], axis=1
             )[:, 0]
-            (cC, tC, doneC), emitB = hop(cB, tB, doneB, rowB)
+            (cC, tC, doneC), emitB = hop(
+                cB, tB, doneB, rowB, origins, directions, t_cap
+            )
             emit = tuple(
                 jnp.stack([a, b], axis=1)
                 for a, b in zip(
@@ -217,10 +232,12 @@ def march_features(
     else:
         table = mesh.march_table
 
-        def step(state, i):
+        def step(carry, i):
+            consts, state = carry
+            o, d, cap = consts
             c, t, done, vids_prev, pos_prev, trans = state
             row = table[jnp.maximum(c, 0)]
-            (new_c, new_t, new_done), e = hop(c, t, done, row)
+            (new_c, new_t, new_done), e = hop(c, t, done, row, o, d, cap)
             if use_occupancy:
                 # Transmittance proxy through the crossed cell; the cell
                 # itself is still emitted, later cells are occluded.
@@ -244,18 +261,25 @@ def march_features(
             new_vid = jnp.sum(
                 jnp.where(is_new, vids_cur, 0), axis=-1
             ).astype(jnp.int32)
-            return (*new_state, vids_cur, pos_cur, trans), (
+            # Gate emissions by ``valid`` so the buffers match their
+            # initial padding on post-done steps. This makes the output
+            # independent of when the surrounding while_loop exits
+            # (which depends on OTHER rays' step counts) — required for
+            # the compaction cascade to be bit-identical, and makes the
+            # march deterministic w.r.t. batch composition in general.
+            active = e[3]
+            return (consts, (*new_state, vids_cur, pos_cur, trans)), (
                 e[0],
                 e[1],
-                e[4],
-                pos_cur,
-                new_vid,
+                jnp.where(active[:, None], e[4], 0.0),
+                jnp.where(active[:, None], pos_cur, 0),
+                jnp.where(active, new_vid, 0),
             )
 
         pos0 = jnp.broadcast_to(
             jnp.arange(4, dtype=jnp.int32)[None, :], (num_rays, 4)
         )
-        init = (
+        state = (
             entry_cell,
             t_entry,
             ~hit,
@@ -263,6 +287,7 @@ def march_features(
             pos0,
             jnp.ones(num_rays, jnp.float32),
         )
+        consts = (origins, directions, t_cap)
 
         # Early-exit march: a while_loop over CHUNK-step scan blocks that
         # stops once EVERY ray is done, so the sequential-gather chain
@@ -274,23 +299,12 @@ def march_features(
         chunk = min(16, max_steps)
         n_chunks = -(-max_steps // chunk)
         total = n_chunks * chunk
-        bufs0 = (
-            jnp.full((num_rays, total), -1, jnp.int32),  # cells
-            jnp.full((num_rays, total), jnp.inf, jnp.float32),  # t1
-            jnp.zeros((num_rays, total, 4), jnp.float32),  # bary_exit
-            jnp.zeros((num_rays, total, 4), jnp.int32),  # stream pos
-            jnp.zeros((num_rays, total), jnp.int32),  # new vertex id
-        )
-
-        def cond(carry):
-            i, state, _ = carry
-            return (i < n_chunks) & ~jnp.all(state[2])
 
         def body(carry):
-            i, state, bufs = carry
+            i, consts, state, bufs = carry
             xs = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            state, outs = jax.lax.scan(step, state, xs)
-            # outs: [chunk, R, ...] -> [R, chunk, ...] written at column
+            (consts, state), outs = jax.lax.scan(step, (consts, state), xs)
+            # outs: [chunk, W, ...] -> [W, chunk, ...] written at column
             # i*chunk of each buffer.
             start = i * chunk
             bufs = tuple(
@@ -301,14 +315,76 @@ def march_features(
                 )
                 for buf, o in zip(bufs, outs)
             )
-            return i + 1, state, bufs
+            return i + 1, consts, state, bufs
 
-        _, final_state, bufs = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), init, bufs0)
+        # Per-ray compaction cascade: the march cost is the sequential
+        # row-gather chain, width x steps rows. A batch-synchronized loop
+        # pays the batch MAX step count for every ray; here, once at most
+        # half the rays are still marching, the active rays are permuted
+        # into a dense prefix and the march continues at half width
+        # (repeat ``compact_stages`` times). Output rows carry their full
+        # history (each stage's buffers start as a row-gather of the
+        # parent's), so a final row-scatter per stage reassembles the
+        # exact uncompacted result. Rays dropped while still active
+        # (budget exhausted mid-cascade) keep done=False and surface in
+        # ``overflow``.
+        n_stages = 0
+        width = num_rays
+        while n_stages < compact_stages and width >= 2 * max(chunk, 64):
+            n_stages += 1
+            width //= 2
+
+        bufs = (
+            jnp.full((num_rays, total), -1, jnp.int32),  # cells
+            jnp.full((num_rays, total), jnp.inf, jnp.float32),  # t1
+            jnp.zeros((num_rays, total, 4), jnp.float32),  # bary_exit
+            jnp.zeros((num_rays, total, 4), jnp.int32),  # stream pos
+            jnp.zeros((num_rays, total), jnp.int32),  # new vertex id
         )
-        done_final = final_state[2]
+        final_bufs = bufs
+        perm = jnp.arange(num_rays, dtype=jnp.int32)
+        done_full = state[2]
+        i = jnp.int32(0)
+        width = num_rays
+        for s in range(n_stages + 1):
+            if s == n_stages:
+
+                def cond(carry):
+                    i, _, st, _ = carry
+                    return (i < n_chunks) & ~jnp.all(st[2])
+
+            else:
+                half = width // 2
+
+                def cond(carry, half=half):
+                    i, _, st, _ = carry
+                    active = jnp.sum(~st[2])
+                    return (i < n_chunks) & (active > half)
+
+            i, consts, state, bufs = jax.lax.while_loop(
+                cond, body, (i, consts, state, bufs)
+            )
+            if s == 0:
+                final_bufs = bufs
+                done_full = state[2]
+            else:
+                final_bufs = tuple(
+                    fb.at[perm].set(b) for fb, b in zip(final_bufs, bufs)
+                )
+                done_full = done_full.at[perm].set(state[2])
+            if s < n_stages:
+                half = width // 2
+                order = jnp.argsort(state[2].astype(jnp.int32), stable=True)
+                take = order[:half]
+                perm = perm[take]
+                consts = tuple(a[take] for a in consts)
+                state = tuple(a[take] for a in state)
+                bufs = tuple(b[take] for b in bufs)
+                width = half
+
+        done_final = done_full
         cells, t1s, barys, poss, new_vids = (
-            b[:, :max_steps] for b in bufs
+            b[:, :max_steps] for b in final_bufs
         )
         vidxs = None
 
