@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--max-steps", type=int, default=256,
                         help="traversal step bound per ray")
     parser.add_argument("--num-samples", type=int, default=128)
+    parser.add_argument("--occupancy", action="store_true",
+                        help="enable occupancy-driven ray termination")
+    parser.add_argument("--warmup-steps", type=int, default=0,
+                        help="un-timed training steps before measuring "
+                        "(lets the occupancy EMA reach steady state, as "
+                        "in a real 300k-step run)")
     args = parser.parse_args()
 
     import jax
@@ -53,6 +59,8 @@ def main():
     config.model.num_samples = args.num_samples
     config.model.num_fine_samples = args.num_samples
     config.model.max_intersected_triangles = args.max_steps
+    if args.occupancy:
+        config.model.use_occupancy_field = True
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 
@@ -72,6 +80,16 @@ def main():
     # finishes, and the final loss depends on the full chained state.
     m = trainer.train_step(batches[0])
     float(m["loss"])
+    for i in range(args.warmup_steps):
+        m = trainer.train_step(make_batch())
+        if (i + 1) % 100 == 0:
+            float(m["loss"])
+    if args.warmup_steps:
+        print(
+            f"# warmed up {args.warmup_steps} steps "
+            f"(loss={float(m['loss']):.4f})",
+            file=sys.stderr,
+        )
     t0 = time.perf_counter()
     for i in range(args.steps):
         m = trainer.train_step(batches[i % len(batches)])

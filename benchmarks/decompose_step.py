@@ -39,7 +39,14 @@ def main():
     p.add_argument("--rays", type=int, default=8192)
     p.add_argument("--max-steps", type=int, default=240)
     p.add_argument("--num-samples", type=int, default=128)
+    p.add_argument("--only", type=str, default="",
+                   help="comma-separated variant names to run")
     args = p.parse_args()
+
+    # Persistent compile cache: the single-core host pays minutes per
+    # variant otherwise.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import optax
 
@@ -142,15 +149,18 @@ def main():
         new = optax.apply_updates(prm, updates)
         return loss, new
 
-    base = report("full step (RAdam)", full_step)
-    f = report("forward only", fwd_only)
-    g = report("grad only (no optimizer)", grad_only)
-    report("full step (SGD)", sgd_step)
-    nf = report("grad, field frozen (no scatter bwd)", no_field_grad)
-    report("full step, num_fine_samples=0", no_fine)
-    print(f"# backward = {1e3 * (g - f):.1f} ms; optimizer+loss = "
-          f"{1e3 * (base - g):.1f} ms; field-grad part = "
-          f"{1e3 * (g - nf):.1f} ms")
+    variants = {
+        "full": ("full step (RAdam)", full_step),
+        "fwd": ("forward only", fwd_only),
+        "grad": ("grad only (no optimizer)", grad_only),
+        "sgd": ("full step (SGD)", sgd_step),
+        "nofield": ("grad, field frozen (no scatter bwd)", no_field_grad),
+        "nofine": ("full step, num_fine_samples=0", no_fine),
+    }
+    names = [n for n in args.only.split(",") if n] or list(variants)
+    for n in names:
+        label, fn = variants[n]
+        report(label, fn)
 
 
 if __name__ == "__main__":

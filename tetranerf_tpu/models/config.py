@@ -57,6 +57,13 @@ class TetrahedraNerfConfig:
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"
     """MLP compute dtype; parameters stay float32."""
+    interp_mode: str = "matmul"
+    """Endpoint-feature interpolation backend for ``sample_features``:
+    ``"matmul"`` builds the two-nonzero one-hot in compute_dtype and
+    rides the MXU, with the backward reusing it as a residual (no
+    rebuild); ``"pallas"`` builds it per-ray in VMEM (less HBM, but its
+    backward reconstructs the one-hot — slower in training); ``"gather"``
+    uses take-along-axis (slow on TPU, debugging only)."""
     remat_mlps: bool = True
     """Recompute MLP activations in the backward pass instead of saving
     them — they are the step's largest residuals ([R, S, 128] each; an

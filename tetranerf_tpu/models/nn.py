@@ -34,16 +34,24 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
     }
 
 
-def linear_apply(params: Params, x, compute_dtype=None):
+def linear_apply(params: Params, x, compute_dtype=None, out_dtype=None):
+    """``x @ kernel + bias`` with f32 MXU accumulation.
+
+    ``out_dtype`` stores the result (and therefore the layer-boundary
+    tensor AND its backward cotangent) in a narrower dtype; the matmul
+    still accumulates in f32 on the MXU. At NeRF sample counts the MLP
+    stack is HBM-boundary-bound, not FLOP-bound — bf16 boundaries halve
+    its traffic in both passes."""
     kernel = params["kernel"]
     bias = params["bias"]
     if compute_dtype is not None:
         kernel = kernel.astype(compute_dtype)
         bias = bias.astype(compute_dtype)
         x = x.astype(compute_dtype)
-    return (
-        jnp.dot(x, kernel, preferred_element_type=jnp.float32) + bias
-    )
+    out = jnp.dot(x, kernel, preferred_element_type=jnp.float32) + bias
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
 
 
 def mlp_init(
@@ -64,11 +72,21 @@ def mlp_init(
 
 
 def mlp_apply(
-    params: List[Params], x, out_activation=None, compute_dtype=None
+    params: List[Params], x, out_activation=None, compute_dtype=None,
+    final_dtype=None,
 ):
+    """Hidden-layer boundaries are stored in ``compute_dtype`` (see
+    :func:`linear_apply`). ``final_dtype`` controls the last layer's
+    boundary: pass ``compute_dtype`` when the consumer is another
+    reduced-precision MLP (trunk outputs); leave ``None`` (f32) when it
+    feeds a head nonlinearity / the renderer."""
     for i, layer in enumerate(params):
-        x = linear_apply(layer, x, compute_dtype)
-        if i + 1 < len(params):
+        hidden = i + 1 < len(params)
+        x = linear_apply(
+            layer, x, compute_dtype,
+            out_dtype=compute_dtype if hidden else final_dtype,
+        )
+        if hidden:
             x = jax.nn.relu(x)
     if out_activation is not None:
         x = out_activation(x)

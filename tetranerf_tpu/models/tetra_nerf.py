@@ -273,7 +273,8 @@ class TetraNerf:
                 float(cfg.input_fourier_frequencies),
             )
         base_out = nn.mlp_apply(
-            params["mlp_base"], x, out_activation=jax.nn.relu, compute_dtype=dtype
+            params["mlp_base"], x, out_activation=jax.nn.relu,
+            compute_dtype=dtype, final_dtype=dtype,
         )
         density = jax.nn.softplus(
             nn.linear_apply(params["field_output_density"], base_out, dtype)[..., 0]
@@ -300,6 +301,7 @@ class TetraNerf:
             jnp.concatenate(head_in, axis=-1),
             out_activation=jax.nn.relu,
             compute_dtype=dtype,
+            final_dtype=dtype,
         )
         rgb = jax.nn.sigmoid(
             nn.linear_apply(params["field_output_color"], head_out, dtype)
@@ -485,6 +487,9 @@ class TetraNerf:
                 res,
                 distances,
                 ray_mask,
+                use_matmul={"matmul": True, "gather": False}.get(
+                    cfg.interp_mode, cfg.interp_mode
+                ),
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             )
             return distances, deltas, smask, field_values

@@ -517,6 +517,57 @@ def biased_warp_range(res: FusedMarch, first, num_kept, nears, fars, samples):
     return cum_at + len_at * rest
 
 
+def _interp_precision(dtype):
+    # With f32 operands force full precision (TPU would otherwise
+    # decompose the f32 matmul into bf16 MXU passes).
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+@jax.custom_vjp
+def _interp_matmul(feats, w):
+    """``out[r,s,f] = Σ_t w[r,s,t]·feats[r,t,f]`` with ``w`` pinned as the
+    backward's residual.
+
+    Plain autodiff of the dot would let XLA *recompute* the [R, S, T+1]
+    one-hot in the backward (it is a cheap fusible broadcast-compare, so
+    XLA prefers rebuild over a 1 GB materialization) — measured slower
+    than re-reading it. The custom VJP makes ``w`` a real buffer crossing
+    the fwd/bwd boundary: the backward is a single batched matmul.
+    ``w`` takes no gradient (it is built from stop-gradiented geometry).
+    """
+    return jax.lax.dot_general(
+        w,
+        feats,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_interp_precision(w.dtype),
+    )
+
+
+def _interp_matmul_fwd(feats, w):
+    return _interp_matmul(feats, w), w
+
+
+def _interp_matmul_bwd(w, g):
+    gf = jax.lax.dot_general(
+        w,
+        g.astype(w.dtype),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_interp_precision(w.dtype),
+    )
+    # ``w`` is built from stop-gradiented geometry, so its cotangent is
+    # discarded upstream and XLA DCEs these zeros.
+    return gf.astype(g.dtype), jnp.zeros_like(w)
+
+
+_interp_matmul.defvjp(_interp_matmul_fwd, _interp_matmul_bwd)
+
+
 def sample_features(
     res: FusedMarch,
     distances,
@@ -569,24 +620,19 @@ def sample_features(
     elif use_matmul:
         # Two-nonzero structured matmul on the MXU: rows select endpoint
         # k (weight 1-frac) and k+1 (weight frac) of the feature buffer.
+        # Build ``w`` directly in compute_dtype — the [R, S, T+1] one-hot
+        # is the dominant HBM tensor of this path (1 GB in bf16 at bench
+        # shapes, 4 GB in f32). Autodiff keeps it as the matmul residual,
+        # so the backward (``w^T @ g``) re-rides the MXU with no rebuild —
+        # unlike the Pallas kernel, whose bwd reconstructs ``w`` per ray.
+        wf = jnp.where(mask, frac, 0.0).astype(compute_dtype)
+        w0 = (
+            jnp.where(mask, 1.0 - frac, 0.0).astype(compute_dtype)
+        )
         slots = jnp.arange(max_t + 1, dtype=jnp.int32)[None, None, :]
-        w = jnp.where(slots == k_c[..., None], (1.0 - frac)[..., None], 0.0)
-        w = w + jnp.where(slots == (k_c + 1)[..., None], frac[..., None], 0.0)
-        w = jnp.where(mask[..., None], w, 0.0)
-        # With f32 operands force full precision (TPU would otherwise
-        # decompose the f32 matmul into bf16 MXU passes).
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if jnp.dtype(compute_dtype) == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-        out = jax.lax.dot_general(
-            w.astype(compute_dtype),
-            feats.astype(compute_dtype),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        w = jnp.where(slots == k_c[..., None], w0[..., None], 0)
+        w = w + jnp.where(slots == (k_c + 1)[..., None], wf[..., None], 0)
+        out = _interp_matmul(feats.astype(compute_dtype), w)
     else:
         f0 = jnp.take_along_axis(feats, k_c[..., None], axis=1)
         f1 = jnp.take_along_axis(feats, (k_c + 1)[..., None], axis=1)
