@@ -57,3 +57,47 @@ def test_data_parallel_matches_single_device(ball_points):
     # Same rng keys + deterministic math -> identical losses across
     # shardings (up to reduction-order roundoff).
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-4)
+
+
+def test_model_parallel_matches_single_device(ball_points):
+    """dp x tp (4x2 mesh, feature field sharded over its feature axis)
+    must match the 1-device result."""
+    from tetranerf_tpu.geometry import build_mesh
+    from tetranerf_tpu.models import TetraNerf, TetrahedraNerfConfig
+    from tetranerf_tpu.training import Trainer, tetranerf_preset
+    from tetranerf_tpu.utils import sample_sphere_rays, sphere_ray_targets
+
+    mesh = build_mesh(ball_points)
+    rng = np.random.default_rng(0)
+    o, d = sample_sphere_rays(rng, 64, radius=3.0)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+
+    losses = {}
+    for model_shards in (1, 2):
+        config = tetranerf_preset()
+        config.num_model_shards = model_shards
+        config.model = TetrahedraNerfConfig(
+            num_samples=8,
+            num_fine_samples=0,
+            max_intersected_triangles=48,
+            field_dim=8,
+            hidden_size=16,
+            compute_dtype="float32",
+        )
+        model = TetraNerf(config.model, mesh)
+        ndev = 1 if model_shards == 1 else 4
+        trainer = Trainer(config, model, mesh_devices=ndev)
+        if model_shards == 2:
+            assert trainer.device_mesh.shape == {"data": 4, "model": 2}
+            field = trainer.state.params["tetrahedra_field"]
+            assert len(field.sharding.device_set) == 8
+            # The field is genuinely partitioned: each shard holds half
+            # the feature columns.
+            shard_shape = field.sharding.shard_shape(field.shape)
+            assert shard_shape == (field.shape[0], field.shape[1] // 2)
+            mu = trainer.state.opt_state[0].mu["tetrahedra_field"]
+            assert mu.sharding.shard_shape(mu.shape) == shard_shape
+        m0 = trainer.train_step(batch)
+        m1 = trainer.train_step(batch)
+        losses[model_shards] = (float(m0["loss"]), float(m1["loss"]))
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-4)

@@ -5,11 +5,13 @@ from .sharding import (
     make_global_batch,
     make_mesh,
     replicate,
+    state_shardings,
     shard_batch,
 )
 
 __all__ = [
     "make_mesh",
+    "state_shardings",
     "batch_sharding",
     "replicate",
     "shard_batch",

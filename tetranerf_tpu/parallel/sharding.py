@@ -27,13 +27,64 @@ def make_mesh(
     num_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
     axis_name: str = "data",
+    model_shards: int = 1,
 ) -> Mesh:
-    """1-D data-parallel device mesh over the available devices."""
+    """Device mesh: 1-D data-parallel, or 2-D ``data x model``.
+
+    ``model_shards > 1`` adds a ``"model"`` axis for tensor-parallel
+    parameter sharding (the vertex feature field's feature axis — see
+    :func:`state_shardings`); rays stay sharded over ``"data"`` and are
+    replicated across ``"model"``.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if model_shards <= 1:
+        return Mesh(devices, (axis_name,))
+    if devices.size % model_shards:
+        raise ValueError(
+            f"{devices.size} devices not divisible by "
+            f"model_shards={model_shards}"
+        )
+    return Mesh(
+        devices.reshape(-1, model_shards), (axis_name, "model")
+    )
+
+
+def state_shardings(mesh: Mesh, tree):
+    """Per-leaf shardings for a params/TrainState pytree.
+
+    On a mesh with a ``"model"`` axis, the tetrahedra feature field
+    ``[V, F]`` — the model's only large parameter (64 floats per vertex,
+    reference ``model.py:239-255``) — is sharded over its feature axis,
+    along with its optimizer moments (RAdam's mu/nu mirror the params
+    tree, so the same path test applies). Everything else (tiny MLPs,
+    scalars) is replicated. GSPMD partitions the endpoint-feature gather
+    column-wise and inserts the collectives at the MLP boundary.
+    """
+    rep = NamedSharding(mesh, P())
+    if "model" not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+    num_model = mesh.shape["model"]
+    field_sh = NamedSharding(mesh, P(None, "model"))
+
+    def leaf_sharding(path, leaf):
+        is_field = any(
+            getattr(p, "key", getattr(p, "name", None))
+            == "tetrahedra_field"
+            for p in path
+        )
+        if (
+            is_field
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[1] % num_model == 0
+        ):
+            return field_sh
+        return rep
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

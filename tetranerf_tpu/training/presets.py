@@ -36,6 +36,10 @@ class TrainConfig:
     output_dir: Optional[str] = None
     # TPU additions
     num_data_shards: Optional[int] = None  # None = all local devices
+    num_model_shards: int = 1
+    """Tensor-parallel shards for the vertex feature field (its
+    feature axis) on a 2-D ``data x model`` mesh; 1 = pure data
+    parallelism (the reference DDP scope)."""
 
 
 def tetranerf_original_preset(**overrides) -> TrainConfig:

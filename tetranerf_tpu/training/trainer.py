@@ -22,7 +22,12 @@ import numpy as np
 import optax
 
 from ..models.tetra_nerf import RayBundle, TetraNerf
-from ..parallel.sharding import batch_sharding, make_mesh, replicate
+from ..parallel.sharding import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    state_shardings,
+)
 from .presets import TrainConfig
 
 
@@ -142,9 +147,14 @@ class Trainer:
         self.model = model
         self._auto_tune_steps = auto_tune_steps
         self._tuned = False
+        model_shards = getattr(config, "num_model_shards", 1) or 1
+        num_devices = mesh_devices or config.num_data_shards
+        if num_devices is not None and model_shards > 1:
+            num_devices = num_devices * model_shards
         self.device_mesh = make_mesh(
-            num_devices=mesh_devices or config.num_data_shards,
+            num_devices=num_devices,
             devices=devices,
+            model_shards=model_shards,
         )
         self.optimizer = make_optimizer(config)
         key = jax.random.PRNGKey(config.seed)
@@ -152,10 +162,15 @@ class Trainer:
         params = model.init_params(self.init_key, point_colors=point_colors)
         opt_state = self.optimizer.init(params)
         rep = replicate(self.device_mesh)
-        self.state = jax.device_put(
-            TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)),
-            rep,
+        state = TrainState(
+            params=params, opt_state=opt_state, step=jnp.int32(0)
         )
+        # On a ``data x model`` mesh the feature field (+ its optimizer
+        # moments) is sharded over its feature axis; everything else is
+        # replicated (see ``parallel.state_shardings``).
+        self._state_sharding = state_shardings(self.device_mesh, state)
+        self._params_sharding = self._state_sharding.params
+        self.state = jax.device_put(state, self._state_sharding)
         # The tetrahedra mesh tables are jit *arguments* (replicated), not
         # closed-over constants — constants would be embedded per
         # executable (hundreds of MB of HLO).
@@ -193,15 +208,15 @@ class Trainer:
                 self.tuned_max_steps,
                 self.tuned_short_steps,
             ),
-            in_shardings=(rep, bsh, rep, rep),
-            out_shardings=(rep, rep),
+            in_shardings=(self._state_sharding, bsh, rep, rep),
+            out_shardings=(self._state_sharding, rep),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
             make_eval_step(
                 self.model, self.tuned_max_steps, self.tuned_short_steps
             ),
-            in_shardings=(rep, bsh, rep),
+            in_shardings=(self._params_sharding, bsh, rep),
             out_shardings=bsh,
         )
 
