@@ -18,7 +18,8 @@ from tetranerf_tpu.ops.interpolation import interpolate_values
 
 @pytest.fixture(scope="module")
 def ball_mesh(ball_points):
-    return build_mesh(ball_points)
+    # two_hop_table for the hops=2 parity tests (default is off).
+    return build_mesh(ball_points, two_hop_table=True)
 
 
 def _rays(rng, n):

@@ -91,3 +91,34 @@ def test_mesh_is_pytree(cube_mesh):
     assert len(leaves) == 9
     mesh2 = jax.tree_util.tree_map(lambda x: x, mesh)
     assert mesh2.num_cells == mesh.num_cells
+
+
+def test_slim_mesh_march_parity(ball_points):
+    """march_features on a slim mesh (packed-row walk, no unpacked
+    planes/neighbors on device) is bit-identical to the full mesh."""
+    import jax.numpy as jnp
+
+    from tetranerf_tpu.ops.fused import march_features
+
+    mesh = build_mesh(ball_points)
+    slim = mesh.slim()
+    assert slim.planes.shape[0] == 0 and slim.neighbors.shape[0] == 0
+    # Pytree structure unchanged (jit signature compatibility).
+    import jax
+
+    assert jax.tree_util.tree_structure(slim) == jax.tree_util.tree_structure(mesh)
+
+    rng = np.random.default_rng(3)
+    o = rng.normal(size=(32, 3))
+    o = (o * (3.0 / np.linalg.norm(o, axis=1, keepdims=True))).astype(np.float32)
+    d = (-o / np.linalg.norm(o, axis=1, keepdims=True)).astype(np.float32)
+    field = jnp.asarray(
+        rng.normal(size=(mesh.num_vertices, 8)), jnp.float32
+    )
+    full = march_features(mesh, field, o, d, max_steps=64)
+    thin = march_features(slim, field, o, d, max_steps=64)
+    np.testing.assert_array_equal(np.asarray(full.cells), np.asarray(thin.cells))
+    np.testing.assert_array_equal(np.asarray(full.t1), np.asarray(thin.t1))
+    np.testing.assert_array_equal(
+        np.asarray(full.feats), np.asarray(thin.feats)
+    )

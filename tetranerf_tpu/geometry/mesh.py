@@ -106,6 +106,32 @@ class TetrahedraMesh:
         )
         return _dc.replace(self, march_table=table)
 
+    def slim(self) -> "TetrahedraMesh":
+        """Drop the arrays the fused hops=1 hot path never reads.
+
+        ``planes``/``neighbors``/``cells`` are packed inside
+        ``march_table`` rows, and ``vertex_cells``/``march_table2`` serve
+        only the point-locator / opt-in two-hop marcher — together ~40%
+        of the mesh's device bytes on top of the march table. The
+        trainer ships the slim mesh to devices; the full mesh stays on
+        host for the parity APIs (``locate_points``, ``match_samples``,
+        ``find_tetrahedra``). Zero-size placeholders keep the pytree
+        structure (and jit signatures) unchanged.
+        """
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        empty = lambda shape, dt: _np.zeros(shape, dt)
+        return _dc.replace(
+            self,
+            cells=empty((0, 4), _np.int32),
+            neighbors=empty((0, 4), _np.int32),
+            planes=empty((0, 4, 4), _np.float32),
+            vertex_cells=empty((0,), _np.int32),
+            march_table2=empty((0, 128), _np.float32),
+        )
+
     def tree_flatten(self):
         children = (
             self.vertices,
@@ -210,13 +236,17 @@ def build_mesh(
     *,
     neighbors: Optional[np.ndarray] = None,
     dtype=np.float32,
-    two_hop_table: bool = True,
+    two_hop_table: bool = False,
 ) -> TetrahedraMesh:
     """Build the full device mesh structure from vertices (+ optional cells).
 
     If ``cells`` is None, the point cloud is Delaunay-tetrahedralized first
     (matching ``TetrahedraNerf._load_points_from_metadata``,
     ``tetranerf/nerfstudio/model.py:302-316`` of the reference).
+
+    ``two_hop_table`` additionally builds ``march_table2`` (480 B/cell —
+    5x the march table) for the opt-in ``traversal_hops=2`` marcher;
+    off by default.
     """
     import jax.numpy as jnp
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..geometry.mesh import TetrahedraMesh
 from .pallas_interp import stream_blend
-from .traversal import _eval_planes, _walk, hull_intersect
+from .traversal import _eval_planes, hull_intersect
 
 
 class MarchStream(NamedTuple):
@@ -73,6 +73,32 @@ class FusedMarch(NamedTuple):
         return jnp.concatenate(
             [self.t_entry[:, None], self.t1[:, :-1]], axis=1
         )
+
+
+def _walk_packed(table, cell, points, num_steps: int):
+    """Point-location walk over packed march rows (same logic as
+    ``traversal._walk``, but reading ``march_table`` so the fused path
+    never touches the unpacked ``planes``/``neighbors`` arrays — they
+    can be dropped from device memory, ``TetrahedraMesh.slim``)."""
+    from .traversal import _BARY_EPS
+
+    def body(_, state):
+        c, done = state
+        planes_c, neighbors, _ = _unpack_row(table[jnp.maximum(c, 0)])
+        b = _eval_planes(planes_c, points)
+        k = jnp.argmin(b, axis=-1)
+        inside = (
+            jnp.take_along_axis(b, k[..., None], axis=-1)[..., 0]
+            >= -_BARY_EPS
+        )
+        nxt = jnp.take_along_axis(neighbors, k[..., None], axis=-1)[..., 0]
+        new_c = jnp.where(done | inside, c, nxt)
+        new_done = done | inside | (nxt < 0)
+        return new_c, new_done
+
+    done0 = cell < 0
+    cell, _ = jax.lax.fori_loop(0, num_steps, body, (cell, done0))
+    return cell
 
 
 def _unpack_row(row):
@@ -133,7 +159,9 @@ def march_features(
     eps_t = 1e-3 * span + 1e-7
     p_entry = origins + (t_in + eps_t)[:, None] * directions
     seed = jnp.where(hit, mesh.hull_cells[entry_facet], -1)
-    entry_cell = _walk(mesh, seed, p_entry, entry_walk_steps)
+    entry_cell = _walk_packed(
+        mesh.march_table, seed, p_entry, entry_walk_steps
+    )
     hit = hit & (entry_cell >= 0)
 
     def crossings(row, t, o, d):

@@ -173,8 +173,15 @@ class Trainer:
         self.state = jax.device_put(state, self._state_sharding)
         # The tetrahedra mesh tables are jit *arguments* (replicated), not
         # closed-over constants — constants would be embedded per
-        # executable (hundreds of MB of HLO).
-        self.mesh_tables = jax.device_put(model.mesh, rep)
+        # executable (hundreds of MB of HLO). The fused hops=1 path reads
+        # only the packed march table + hull arrays, so the device copy
+        # is slimmed (~40% fewer mesh bytes per device).
+        device_mesh_tables = (
+            model.mesh
+            if model.config.traversal_hops == 2
+            else model.mesh.slim()
+        )
+        self.mesh_tables = jax.device_put(device_mesh_tables, rep)
         self._rep = rep
         self._batch_sharding = batch_sharding(self.device_mesh)
         # Scene-tuned traversal bounds (None = the config's). Set by
