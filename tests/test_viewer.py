@@ -85,3 +85,61 @@ def test_viewer_full_uses_cache(server):
     )
     urllib.request.urlopen(req, timeout=600).read()
     assert viewer._cache_key != key
+
+
+@pytest.mark.parametrize("mode", ["depth", "accumulation"])
+def test_viewer_view_modes(server, mode):
+    """Depth/accumulation modes return grayscale PNGs with geometry
+    contrast (sphere center vs empty corner)."""
+    from PIL import Image
+    import io
+
+    _, port = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/render",
+        data=json.dumps(
+            {
+                "position": [0, 2.5, 0.5],
+                "side": 32,
+                "quality": "fast",
+                "mode": mode,
+            }
+        ).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        img = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert img.shape == (32, 32)  # grayscale
+    # Corner ray misses the sphere -> dark; center ray hits -> bright.
+    assert int(img[16, 16]) > int(img[0, 0])
+
+
+def test_viewer_live_training(server):
+    """Frames keep rendering while train steps run concurrently (the
+    --viewer-port live path); donated-buffer races resolve via retry."""
+    import threading
+
+    from tetranerf_tpu.utils import sample_sphere_rays, sphere_ray_targets
+
+    viewer, port = server
+    rng = np.random.default_rng(0)
+
+    def steps():
+        for _ in range(6):
+            o, d = sample_sphere_rays(rng, 64)
+            viewer.trainer.train_step(
+                {
+                    "origins": o,
+                    "directions": d,
+                    "rgb": sphere_ray_targets(o, d),
+                }
+            )
+
+    t = threading.Thread(target=steps)
+    t.start()
+    try:
+        for _ in range(3):
+            png = viewer.render_frame([2.5, 0.3, 0.4], 16, "fast")
+            assert png[:4] == b"\x89PNG"
+    finally:
+        t.join()

@@ -73,6 +73,11 @@ def main(argv=None):
     parser.add_argument("--max-intersected-triangles", type=int, default=None)
     parser.add_argument("--field-dim", type=int, default=None)
     parser.add_argument("--background-color", default=None)
+    parser.add_argument("--viewer-port", type=int, default=None,
+                        help="serve the interactive orbit viewer on this "
+                        "port DURING training (frames render against the "
+                        "live parameters; the reference gets this from "
+                        "the nerfstudio viewer, SURVEY L0)")
     args = parser.parse_args(argv)
 
     from ..models import TetraNerf
@@ -198,13 +203,26 @@ def main(argv=None):
                 f"{fmt(eval_image(tr, idx))}"
             )
 
-    trainer.fit(
-        next_batch,
-        log_every=args.log_every,
-        log_fn=log_fn,
-        eval_fn=eval_fn,
-        eval_every=every_batch,
-    )
+    viewer = None
+    if args.viewer_port is not None:
+        from ..viewer import ViewerServer
+
+        viewer = ViewerServer(trainer, port=args.viewer_port).start()
+        log_fn(
+            "live viewer at http://localhost:"
+            f"{viewer._httpd.server_address[1]}"
+        )
+    try:
+        trainer.fit(
+            next_batch,
+            log_every=args.log_every,
+            log_fn=log_fn,
+            eval_fn=eval_fn,
+            eval_every=every_batch,
+        )
+    finally:
+        if viewer is not None:
+            viewer.stop()
 
     # Final eval over the FULL held-out split with all metrics.
     metrics_acc = [eval_image(trainer, i) for i in range(eval_ds.num_images)]

@@ -44,12 +44,19 @@ img { width:100vw; height:100vh; object-fit:contain; display:block;
       image-rendering:auto; }
 </style></head><body>
 <div id="hud">drag: orbit &middot; wheel: dolly &middot; quality refines on
-hold &middot; <span id="stat"></span></div>
+hold &middot; keys 1/2/3: rgb/depth/acc &middot; <span id="mode"></span>
+<span id="stat"></span></div>
 <img id="view" />
 <script>
 let az = 0.6, el = 0.3, r = 2.5, busy = false, still = 0, gen = 0;
+let mode = 'rgb';
 const img = document.getElementById('view');
 const stat = document.getElementById('stat');
+const modeEl = document.getElementById('mode');
+window.addEventListener('keydown', e => {
+  const m = {'1':'rgb', '2':'depth', '3':'accumulation'}[e.key];
+  if (m) { mode = m; modeEl.textContent = m + ' '; still = 0; render('fast'); }
+});
 function pose() {
   const cx = Math.cos(az)*Math.cos(el)*r, cy = Math.sin(az)*Math.cos(el)*r,
         cz = Math.sin(el)*r;
@@ -60,7 +67,8 @@ async function render(quality) {
   const myGen = ++gen;
   const t0 = performance.now();
   const res = await fetch('/render', {method:'POST', body: JSON.stringify(
-    {position: pose(), quality: quality, side: quality=='full'?800:400})});
+    {position: pose(), quality: quality, mode: mode,
+     side: quality=='full'?800:400})});
   const blob = await res.blob();
   if (myGen === gen) {
     img.src = URL.createObjectURL(blob);
@@ -84,6 +92,26 @@ window.addEventListener('wheel', e => {
 setInterval(() => { if (++still == 3) render('full'); }, 350);
 render('fast');
 </script></body></html>"""
+
+
+def _colorize(out, side: int, mode: str) -> np.ndarray:
+    """Map a render-output dict to a uint8 image for ``mode``."""
+    if mode == "depth":
+        depth = np.asarray(out["depth"]).reshape(side, side)
+        acc = np.asarray(out["accumulation"]).reshape(side, side)
+        covered = depth[acc > 0.5]
+        # Normalize to the covered range so the geometry uses the full
+        # gray ramp regardless of scene scale (empty pixels -> black).
+        lo = float(covered.min()) if covered.size else 0.0
+        hi = float(np.percentile(covered, 99.0)) if covered.size else 1.0
+        g = np.clip((depth - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
+        g = np.where(acc > 0.05, 1.0 - g * 0.9, 0.0)  # near=bright
+        return (g * 255).astype(np.uint8)
+    if mode == "accumulation":
+        acc = np.clip(np.asarray(out["accumulation"]).reshape(side, side), 0, 1)
+        return (acc * 255).astype(np.uint8)
+    rgb = np.clip(np.asarray(out["rgb"]).reshape(side, side, 3), 0, 1)
+    return (rgb * 255).astype(np.uint8)
 
 
 def _look_at(pos):
@@ -148,34 +176,53 @@ class ViewerServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # ------------------------------------------------------------- render
-    def render_frame(self, position, side: int, quality: str) -> bytes:
-        """PNG bytes for a camera at ``position`` looking at the origin."""
+    def render_frame(
+        self, position, side: int, quality: str, mode: str = "rgb"
+    ) -> bytes:
+        """PNG bytes for a camera at ``position`` looking at the origin.
+
+        ``mode`` selects the rendered quantity: ``"rgb"`` (default),
+        ``"depth"`` (normalized, grayscale) or ``"accumulation"``
+        (opacity, grayscale) — the reference's viewer output heads
+        (``model.py:632-638`` renderers).
+        """
         from PIL import Image
 
         c2w = _look_at(position)
         o, d = _camera_rays(c2w, side, self.camera_angle_x)
         with self._lock:
-            if quality == "full":
-                key = c2w.tobytes() + np.int64(side).tobytes()
-                if self._cache_key != key:
-                    self._cache = self.trainer.cache_camera(
-                        o, d, chunk=self.chunk
-                    )
-                    self._cache_key = key
-                out = self.trainer.render_cached(self._cache)
-            else:
-                out = self.trainer.render_rays(
-                    o,
-                    d,
-                    chunk=self.chunk,
-                    num_samples=self.fast_samples,
-                    num_fine_samples=0,
-                )
-        rgb = np.clip(out["rgb"].reshape(side, side, 3), 0, 1)
-        img = Image.fromarray((rgb * 255).astype(np.uint8))
+            # One retry: a concurrent train step may donate the params
+            # snapshot captured at dispatch (live-training viewer);
+            # re-dispatching against the fresh state always succeeds.
+            for attempt in range(2):
+                try:
+                    out = self._render(o, d, c2w, side, quality)
+                    break
+                except Exception:
+                    if attempt:
+                        raise
+                    self._cache_key = None  # cache may hold stale arrays
+        img = Image.fromarray(_colorize(out, side, mode))
         buf = io.BytesIO()
         img.save(buf, format="PNG")
         return buf.getvalue()
+
+    def _render(self, o, d, c2w, side: int, quality: str):
+        if quality == "full":
+            key = c2w.tobytes() + np.int64(side).tobytes()
+            if self._cache_key != key:
+                self._cache = self.trainer.cache_camera(
+                    o, d, chunk=self.chunk
+                )
+                self._cache_key = key
+            return self.trainer.render_cached(self._cache)
+        return self.trainer.render_rays(
+            o,
+            d,
+            chunk=self.chunk,
+            num_samples=self.fast_samples,
+            num_fine_samples=0,
+        )
 
     # ------------------------------------------------------------- server
     def _handler(self):
@@ -207,6 +254,7 @@ class ViewerServer:
                         req["position"],
                         int(req.get("side", 400)),
                         str(req.get("quality", "fast")),
+                        str(req.get("mode", "rgb")),
                     )
                 except Exception as exc:  # surface render errors to the UI
                     self.send_error(500, str(exc))
