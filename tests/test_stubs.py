@@ -22,6 +22,7 @@ STUBS = {
     "tetranerf_tpu.models": "tetranerf_tpu/models/__init__.pyi",
     "tetranerf_tpu.training": "tetranerf_tpu/training/__init__.pyi",
     "tetranerf_tpu.geometry": "tetranerf_tpu/geometry/__init__.pyi",
+    "tetranerf_tpu.parallel": "tetranerf_tpu/parallel/__init__.pyi",
     "tetranerf_tpu.tracer": "tetranerf_tpu/tracer.pyi",
 }
 
