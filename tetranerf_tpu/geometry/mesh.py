@@ -287,25 +287,21 @@ def build_mesh(
             c = vertex_cells[tri[0]]
         hull_cells[i] = c
 
-    planes_f32 = planes.astype(np.float32)
-    packed = np.concatenate(
-        [
-            planes_f32.reshape(len(cells), 16),
-            neighbors.astype(np.int32).view(np.float32),
-            cells.view(np.float32),
-        ],
-        axis=1,
-    )
     # Rows narrower than 64 floats hit XLA's slow per-column gather path
     # on TPU (measured: cost grows ~linearly with width below 64, then
     # drops 5x at >= 64). Pad the hot tables to the fast row widths.
+    # Filled in place — no intermediate packed copy (host peak memory
+    # matters at dense-1M scale: ~6M cells).
     march_table = np.zeros((len(cells), 64), np.float32)
-    march_table[:, :24] = packed
+    march_table[:, :16] = planes.astype(np.float32).reshape(len(cells), 16)
+    march_table[:, 16:20] = neighbors.astype(np.int32).view(np.float32)
+    march_table[:, 20:24] = cells.view(np.float32)
     # Two-hop row: self + the 4 neighbors' rows (boundary -> own row; the
     # marcher checks the neighbor id before using the block), padded to
     # 128 floats. Optional: measured neutral on v5e at 5x the memory of
     # march_table, but kept for hardware where gather latency dominates.
     if two_hop_table:
+        packed = march_table[:, :24]
         safe_nbr = np.where(neighbors >= 0, neighbors, 0)
         march_table2 = np.zeros((len(cells), 128), np.float32)
         march_table2[:, :120] = np.concatenate(
@@ -318,7 +314,9 @@ def build_mesh(
         vertices=jnp.asarray(vertices, dtype=dtype),
         cells=jnp.asarray(cells),
         neighbors=jnp.asarray(neighbors),
-        planes=jnp.asarray(planes_f32),
+        planes=jnp.asarray(
+            march_table[:, :16].reshape(len(cells), 4, 4)
+        ),
         hull_eqs=jnp.asarray(hull_eqs.astype(dtype)),
         hull_cells=jnp.asarray(hull_cells),
         vertex_cells=jnp.asarray(vertex_cells),
