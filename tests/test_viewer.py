@@ -63,6 +63,7 @@ def test_viewer_render_png(server, quality):
 
 def test_viewer_full_uses_cache(server):
     viewer, port = server
+    viewer._caches.clear()
     # Two identical full-quality requests reuse the cached march.
     for _ in range(2):
         req = urllib.request.Request(
@@ -73,9 +74,8 @@ def test_viewer_full_uses_cache(server):
             method="POST",
         )
         urllib.request.urlopen(req, timeout=600).read()
-    assert viewer._cache is not None
-    key = viewer._cache_key
-    # A different pose invalidates the cache key.
+    assert len(viewer._caches) == 1
+    # A different pose gets its own cache entry.
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/render",
         data=json.dumps(
@@ -84,7 +84,32 @@ def test_viewer_full_uses_cache(server):
         method="POST",
     )
     urllib.request.urlopen(req, timeout=600).read()
-    assert viewer._cache_key != key
+    assert len(viewer._caches) == 2
+
+
+def test_viewer_progressive_tiles(server):
+    """Row-band tiles composite into the same image as one full frame."""
+    from PIL import Image
+    import io
+
+    viewer, _ = server
+    full = np.asarray(
+        Image.open(io.BytesIO(viewer.render_frame([0, 2.5, 0.5], 32, "full")))
+    )
+    strips = [
+        np.asarray(
+            Image.open(
+                io.BytesIO(
+                    viewer.render_frame(
+                        [0, 2.5, 0.5], 32, "full", rows=(y, y + 16)
+                    )
+                )
+            )
+        )
+        for y in (0, 16)
+    ]
+    assert strips[0].shape == (16, 32, 3)
+    np.testing.assert_array_equal(np.concatenate(strips, axis=0), full)
 
 
 @pytest.mark.parametrize("mode", ["depth", "accumulation"])

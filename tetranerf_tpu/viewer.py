@@ -66,13 +66,34 @@ async function render(quality) {
   if (busy) return; busy = true;
   const myGen = ++gen;
   const t0 = performance.now();
-  const res = await fetch('/render', {method:'POST', body: JSON.stringify(
-    {position: pose(), quality: quality, mode: mode,
-     side: quality=='full'?800:400})});
-  const blob = await res.blob();
-  if (myGen === gen) {
-    img.src = URL.createObjectURL(blob);
-    stat.textContent = quality + ' ' + ((performance.now()-t0)/1000).toFixed(2) + 's';
+  if (quality == 'full') {
+    // Progressive: full-res frame arrives in row-band tiles, each
+    // composited as soon as its strip renders.
+    const side = 800, tiles = 8, band = side / tiles;
+    const cv = document.createElement('canvas');
+    cv.width = side; cv.height = side;
+    const ctx = cv.getContext('2d');
+    ctx.drawImage(img, 0, 0, side, side);  // last frame as backdrop
+    for (let t = 0; t < tiles; t++) {
+      const res = await fetch('/render', {method:'POST',
+        body: JSON.stringify({position: pose(), quality: 'full',
+          mode: mode, side: side, rows: [t*band, (t+1)*band]})});
+      if (myGen !== gen) { busy = false; return; }
+      const bmp = await createImageBitmap(await res.blob());
+      ctx.drawImage(bmp, 0, t*band);
+      img.src = cv.toDataURL();
+      stat.textContent = 'full ' + (t+1) + '/' + tiles + ' ' +
+        ((performance.now()-t0)/1000).toFixed(2) + 's';
+    }
+  } else {
+    const res = await fetch('/render', {method:'POST', body: JSON.stringify(
+      {position: pose(), quality: quality, mode: mode, side: 400})});
+    const blob = await res.blob();
+    if (myGen === gen) {
+      img.src = URL.createObjectURL(blob);
+      stat.textContent = quality + ' ' +
+        ((performance.now()-t0)/1000).toFixed(2) + 's';
+    }
   }
   busy = false;
 }
@@ -94,11 +115,12 @@ render('fast');
 </script></body></html>"""
 
 
-def _colorize(out, side: int, mode: str) -> np.ndarray:
-    """Map a render-output dict to a uint8 image for ``mode``."""
+def _colorize(out, shape, mode: str) -> np.ndarray:
+    """Map a render-output dict to a uint8 image of ``shape=(h, w)``."""
+    h, w = shape
     if mode == "depth":
-        depth = np.asarray(out["depth"]).reshape(side, side)
-        acc = np.asarray(out["accumulation"]).reshape(side, side)
+        depth = np.asarray(out["depth"]).reshape(h, w)
+        acc = np.asarray(out["accumulation"]).reshape(h, w)
         covered = depth[acc > 0.5]
         # Normalize to the covered range so the geometry uses the full
         # gray ramp regardless of scene scale (empty pixels -> black).
@@ -108,9 +130,9 @@ def _colorize(out, side: int, mode: str) -> np.ndarray:
         g = np.where(acc > 0.05, 1.0 - g * 0.9, 0.0)  # near=bright
         return (g * 255).astype(np.uint8)
     if mode == "accumulation":
-        acc = np.clip(np.asarray(out["accumulation"]).reshape(side, side), 0, 1)
+        acc = np.clip(np.asarray(out["accumulation"]).reshape(h, w), 0, 1)
         return (acc * 255).astype(np.uint8)
-    rgb = np.clip(np.asarray(out["rgb"]).reshape(side, side, 3), 0, 1)
+    rgb = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
     return (rgb * 255).astype(np.uint8)
 
 
@@ -170,52 +192,70 @@ class ViewerServer:
         self.camera_angle_x = camera_angle_x
         self.fast_samples = fast_samples
         self.chunk = chunk
-        self._cache_key: Optional[bytes] = None
-        self._cache = None
+        # March caches keyed by (pose, side, rows); bounded FIFO — a full
+        # progressive frame uses `tiles` entries per pose.
+        self._caches: "dict[bytes, object]" = {}
+        self._max_caches = 16
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # ------------------------------------------------------------- render
     def render_frame(
-        self, position, side: int, quality: str, mode: str = "rgb"
+        self,
+        position,
+        side: int,
+        quality: str,
+        mode: str = "rgb",
+        rows: Optional[tuple] = None,
     ) -> bytes:
         """PNG bytes for a camera at ``position`` looking at the origin.
 
         ``mode`` selects the rendered quantity: ``"rgb"`` (default),
         ``"depth"`` (normalized, grayscale) or ``"accumulation"``
         (opacity, grayscale) — the reference's viewer output heads
-        (``model.py:632-638`` renderers).
+        (``model.py:632-638`` renderers). ``rows=(y0, y1)`` renders only
+        that horizontal band (progressive full-quality tiles; the band's
+        march is cached independently, so refinement frames re-shade it).
         """
         from PIL import Image
 
         c2w = _look_at(position)
         o, d = _camera_rays(c2w, side, self.camera_angle_x)
+        y0, y1 = (0, side) if rows is None else (int(rows[0]), int(rows[1]))
+        if not 0 <= y0 < y1 <= side:
+            raise ValueError(f"bad rows {rows} for side {side}")
+        o = o.reshape(side, side, 3)[y0:y1].reshape(-1, 3)
+        d = d.reshape(side, side, 3)[y0:y1].reshape(-1, 3)
         with self._lock:
             # One retry: a concurrent train step may donate the params
             # snapshot captured at dispatch (live-training viewer);
             # re-dispatching against the fresh state always succeeds.
             for attempt in range(2):
                 try:
-                    out = self._render(o, d, c2w, side, quality)
+                    out = self._render(o, d, c2w, side, quality, y0, y1)
                     break
                 except Exception:
                     if attempt:
                         raise
-                    self._cache_key = None  # cache may hold stale arrays
-        img = Image.fromarray(_colorize(out, side, mode))
+                    self._caches.clear()  # may hold stale arrays
+        img = Image.fromarray(_colorize(out, (y1 - y0, side), mode))
         buf = io.BytesIO()
         img.save(buf, format="PNG")
         return buf.getvalue()
 
-    def _render(self, o, d, c2w, side: int, quality: str):
+    def _render(self, o, d, c2w, side: int, quality: str, y0: int, y1: int):
         if quality == "full":
-            key = c2w.tobytes() + np.int64(side).tobytes()
-            if self._cache_key != key:
-                self._cache = self.trainer.cache_camera(
-                    o, d, chunk=self.chunk
-                )
-                self._cache_key = key
-            return self.trainer.render_cached(self._cache)
+            key = (
+                c2w.tobytes()
+                + np.int64([side, y0, y1]).tobytes()
+            )
+            cache = self._caches.get(key)
+            if cache is None:
+                cache = self.trainer.cache_camera(o, d, chunk=self.chunk)
+                while len(self._caches) >= self._max_caches:
+                    self._caches.pop(next(iter(self._caches)))
+                self._caches[key] = cache
+            return self.trainer.render_cached(cache)
         return self.trainer.render_rays(
             o,
             d,
@@ -255,6 +295,7 @@ class ViewerServer:
                         int(req.get("side", 400)),
                         str(req.get("quality", "fast")),
                         str(req.get("mode", "rgb")),
+                        req.get("rows"),
                     )
                 except Exception as exc:  # surface render errors to the UI
                     self.send_error(500, str(exc))
