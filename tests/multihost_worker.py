@@ -69,7 +69,35 @@ def main():
     )
     got = float(out)
     assert abs(got - expected) < 1e-5, (got, expected)
-    print(f"OK process={process_id} value={got}", flush=True)
+
+    # dp x tp across hosts: 4x2 mesh, a field [V, F] sharded over its
+    # feature axis (model), a batch-sharded index gather + global mean —
+    # the sharded-field train-step pattern.
+    from tetranerf_tpu.parallel.sharding import state_shardings
+
+    mesh2 = make_mesh(model_shards=2)
+    assert dict(mesh2.shape) == {"data": 4, "model": 2}, mesh2.shape
+    field = np.arange(48, dtype=np.float32).reshape(6, 8)
+    params = {"tetrahedra_field": field}
+    sh = state_shardings(mesh2, params)
+    params = jax.device_put(params, sh)
+    assert params["tetrahedra_field"].sharding.shard_shape((6, 8)) == (6, 4)
+    vids = np.array([0, 5, 2, 3, 1, 4, 0, 2], np.int32)
+    gvids = make_global_batch(
+        {"v": vids[host_batch_slice(8)]}, mesh2
+    )["v"]
+
+    @jax.jit
+    def field_mean(p, v):
+        return jnp.mean(p["tetrahedra_field"][v])
+
+    got2 = float(
+        jax.jit(field_mean, out_shardings=replicate(mesh2))(params, gvids)
+    )
+    expected2 = float(np.mean(field[vids]))
+    assert abs(got2 - expected2) < 1e-5, (got2, expected2)
+
+    print(f"OK process={process_id} value={got} tp={got2}", flush=True)
 
 
 if __name__ == "__main__":
