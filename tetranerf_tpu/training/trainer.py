@@ -147,6 +147,9 @@ class Trainer:
         self.model = model
         self._auto_tune_steps = auto_tune_steps
         self._tuned = False
+        # mesh_devices / num_data_shards count DATA shards; with
+        # num_model_shards > 1 the mesh is (data x model), so the total
+        # device count is their product.
         model_shards = getattr(config, "num_model_shards", 1) or 1
         num_devices = mesh_devices or config.num_data_shards
         if num_devices is not None and model_shards > 1:
@@ -597,17 +600,26 @@ class Trainer:
         eval_every = eval_every or self.config.steps_per_eval_batch
         t0 = time.perf_counter()
         rays_per_batch = None
+        steps_at_t0 = 0
         for i in range(num_iterations):
             batch = next_batch(i)
             if rays_per_batch is None:
                 rays_per_batch = len(batch["origins"])
             metrics = self.train_step(batch)
+            if i == 0:
+                # Restart the rate clock after step 1: the first step
+                # pays XLA compilation (tens of seconds), which would
+                # otherwise dominate the reported rays/s for hundreds
+                # of steps.
+                float(metrics["loss"])
+                t0 = time.perf_counter()
+                steps_at_t0 = 1
             if eval_fn is not None and eval_every and (i + 1) % eval_every == 0:
                 eval_fn(i + 1, self)
             if log_every and (i + 1) % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
-                rate = (i + 1) * rays_per_batch / dt
+                rate = (i + 1 - steps_at_t0) * rays_per_batch / max(dt, 1e-9)
                 ovf = int(metrics.get("overflow_rays", 0))
                 log_fn(
                     f"step {i + 1}/{num_iterations} "
