@@ -101,3 +101,11 @@ def test_model_parallel_matches_single_device(ball_points):
         m1 = trainer.train_step(batch)
         losses[model_shards] = (float(m0["loss"]), float(m1["loss"]))
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-4)
+
+
+def test_state_shardings_rejects_indivisible_field():
+    from tetranerf_tpu.parallel import make_mesh, state_shardings
+
+    mesh = make_mesh(num_devices=8, model_shards=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        state_shardings(mesh, {"tetrahedra_field": np.zeros((10, 7))})

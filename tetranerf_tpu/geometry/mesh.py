@@ -106,6 +106,28 @@ class TetrahedraMesh:
         )
         return _dc.replace(self, march_table=table)
 
+    def on_device(self) -> "TetrahedraMesh":
+        """Mesh with every table as a jax array.
+
+        ``build_mesh`` returns HOST (numpy) tables so a long-lived mesh
+        never pins device HBM; ops that index tables with traced values
+        (scan/while bodies) canonicalize through this at entry. Under
+        ``jit`` the fields are already tracers and this is free; outside
+        ``jit`` it transfers per call — long-lived consumers (Trainer,
+        tracer facade) should ``jax.device_put`` once instead.
+        """
+        import dataclasses as _dc
+
+        import jax.numpy as _jnp
+
+        return _dc.replace(
+            self,
+            **{
+                f.name: _jnp.asarray(getattr(self, f.name))
+                for f in _dc.fields(self)
+            },
+        )
+
     def slim(self) -> "TetrahedraMesh":
         """Drop the arrays the fused hops=1 hot path never reads.
 
@@ -248,8 +270,6 @@ def build_mesh(
     5x the march table) for the opt-in ``traversal_hops=2`` marcher;
     off by default.
     """
-    import jax.numpy as jnp
-
     vertices = np.ascontiguousarray(vertices, dtype=np.float64)
     if cells is None:
         from .delaunay import triangulate
@@ -310,16 +330,20 @@ def build_mesh(
     else:
         march_table2 = np.zeros((0, 128), np.float32)
 
+    # HOST (numpy) arrays: a mesh can be hundreds of MB to GBs, and the
+    # long-lived model.mesh reference must not pin the full tables in
+    # device HBM — consumers place what they need once (the Trainer
+    # device_puts the slim() tables; the tracer facade device_puts on
+    # load); jit calls with a numpy mesh still work via implicit
+    # transfer.
     return TetrahedraMesh(
-        vertices=jnp.asarray(vertices, dtype=dtype),
-        cells=jnp.asarray(cells),
-        neighbors=jnp.asarray(neighbors),
-        planes=jnp.asarray(
-            march_table[:, :16].reshape(len(cells), 4, 4)
-        ),
-        hull_eqs=jnp.asarray(hull_eqs.astype(dtype)),
-        hull_cells=jnp.asarray(hull_cells),
-        vertex_cells=jnp.asarray(vertex_cells),
-        march_table=jnp.asarray(march_table),
-        march_table2=jnp.asarray(march_table2),
+        vertices=np.ascontiguousarray(vertices, dtype=dtype),
+        cells=cells,
+        neighbors=np.ascontiguousarray(neighbors, dtype=np.int32),
+        planes=march_table[:, :16].reshape(len(cells), 4, 4),
+        hull_eqs=np.ascontiguousarray(hull_eqs, dtype=dtype),
+        hull_cells=hull_cells,
+        vertex_cells=vertex_cells,
+        march_table=march_table,
+        march_table2=march_table2,
     )

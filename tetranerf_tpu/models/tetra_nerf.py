@@ -40,6 +40,17 @@ from .config import TetrahedraNerfConfig
 from . import nn
 
 
+def _interp_backend(mode: str):
+    """Map ``config.interp_mode`` to ``sample_features``' backend arg."""
+    try:
+        return {"matmul": True, "gather": False, "pallas": "pallas"}[mode]
+    except KeyError:
+        raise ValueError(
+            f"unknown interp_mode {mode!r}; expected "
+            "'matmul', 'pallas' or 'gather'"
+        ) from None
+
+
 class RayBundle(NamedTuple):
     origins: jnp.ndarray  # f32[R, 3]
     directions: jnp.ndarray  # f32[R, 3] (unit)
@@ -487,9 +498,7 @@ class TetraNerf:
                 res,
                 distances,
                 ray_mask,
-                use_matmul={"matmul": True, "gather": False}.get(
-                    cfg.interp_mode, cfg.interp_mode
-                ),
+                use_matmul=_interp_backend(cfg.interp_mode),
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             )
             return distances, deltas, smask, field_values

@@ -150,6 +150,7 @@ def march_features(
     full row history and are scattered back). This is what converts
     occupancy/early termination into wall-clock on a SIMD machine.
     """
+    mesh = mesh.on_device()
     origins = jnp.asarray(origins)
     directions = jnp.asarray(directions)
     num_rays = origins.shape[0]

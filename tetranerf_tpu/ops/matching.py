@@ -43,6 +43,7 @@ def match_samples(
     reference's entry/exit lerp, which is exact because barycentrics are
     affine along the ray; ``src/tetrahedra_tracer.cu:150-156``).
     """
+    mesh = mesh.on_device()
     distances = jnp.asarray(distances)
     k = _searchsorted_rows(res.t1, distances)  # first interval with t1 > d
     max_t = res.cells.shape[1]

@@ -34,6 +34,7 @@ def find_tetrahedra(mesh: TetrahedraMesh, points, num_steps: int = 64):
     (``py_binding.cpp:137-141``): ``tetrahedra i32[N]`` (-1 = outside),
     ``barycentric_coordinates f32[N, 3]`` (vertices 1..3),
     ``vertex_indices u32[N, 4]``, ``valid_mask bool[N]``."""
+    mesh = mesh.on_device()
     points = jnp.asarray(points)
     cells = locate_points(mesh, points, num_steps)
     valid = cells >= 0
@@ -67,6 +68,7 @@ def trace_rays_triangles(
     1..2; vertex 0 is ``1 - sum``). Crossing ``0`` is the entry into the
     first cell; crossing ``k+1`` exits interval ``k``.
     """
+    mesh = mesh.on_device()
     origins = jnp.asarray(origins)
     directions = jnp.asarray(directions)
     res = march(mesh, origins, directions, max_steps=max_hits - 1)

@@ -117,6 +117,7 @@ def locate_points(mesh: TetrahedraMesh, points, num_steps: int = 64):
     (``src/optix/optix_find_tetrahedra.cu:106-199``). Here: start from a
     cell incident to the nearest hull facet along +x and walk.
     """
+    mesh = mesh.on_device()
     points = jnp.asarray(points)
     # Inside test against the hull.
     evals = (
@@ -156,6 +157,7 @@ def march(
     never reported (OptiX records crossings at t>0 only and pairing needs
     both faces; ``optix_trace_rays.cu:110-266``).
     """
+    mesh = mesh.on_device()
     origins = jnp.asarray(origins)
     directions = jnp.asarray(directions)
 

@@ -76,11 +76,16 @@ def state_shardings(mesh: Mesh, tree):
             == "tetrahedra_field"
             for p in path
         )
-        if (
-            is_field
-            and getattr(leaf, "ndim", 0) == 2
-            and leaf.shape[1] % num_model == 0
-        ):
+        if is_field and getattr(leaf, "ndim", 0) == 2:
+            if leaf.shape[1] % num_model:
+                # Silent replication here would quietly deliver zero
+                # tensor parallelism (full-size field + moments per
+                # device) — the exact blow-up the model axis exists to
+                # avoid.
+                raise ValueError(
+                    f"field_dim={leaf.shape[1]} not divisible by "
+                    f"model_shards={num_model}"
+                )
             return field_sh
         return rep
 

@@ -496,6 +496,23 @@ class Trainer:
             )
         return self._chunked(origins, directions, chunk, run)
 
+    def _marcher_fn(self):
+        """Jitted geometry-only marcher, compiled once per tuned bound
+        (jit caches by function identity — a fresh lambda per
+        cache_camera call would re-trace for every viewer tile)."""
+        cfg = self.model.config
+        max_steps = self.tuned_max_steps or cfg.max_intersected_triangles
+        key = ("marcher", max_steps)
+        fn = self._fast_eval_fns.get(key)
+        if fn is None:
+            from ..ops.fused import march_features
+
+            fn = jax.jit(
+                lambda m, o, d: march_features(m, None, o, d, max_steps)
+            )
+            self._fast_eval_fns[key] = fn
+        return fn
+
     # ------------------------------------------------- static-camera cache
     def cache_camera(self, origins, directions, chunk: int = 8192):
         """March a camera's rays ONCE and keep the per-chunk traversal
@@ -503,13 +520,7 @@ class Trainer:
         against the training field with :meth:`render_cached` — the march
         (the dominant render cost) is skipped entirely. The viewer
         equivalent of the reference's per-frame OptiX launch."""
-        from ..ops.fused import march_features
-
-        cfg = self.model.config
-        max_steps = self.tuned_max_steps or cfg.max_intersected_triangles
-        marcher = jax.jit(
-            lambda m, o, d: march_features(m, None, o, d, max_steps)
-        )
+        marcher = self._marcher_fn()
         chunks = []
         num = len(origins)
         for i in range(0, num, chunk):
@@ -598,7 +609,7 @@ class Trainer:
         ``steps_per_eval_batch``, reference ``registration.py:34-36``)."""
         num_iterations = num_iterations or self.config.max_num_iterations
         eval_every = eval_every or self.config.steps_per_eval_batch
-        t0 = time.perf_counter()
+        t0 = t_start = time.perf_counter()
         rays_per_batch = None
         steps_at_t0 = 0
         for i in range(num_iterations):
@@ -619,7 +630,12 @@ class Trainer:
             if log_every and (i + 1) % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
-                rate = (i + 1 - steps_at_t0) * rays_per_batch / max(dt, 1e-9)
+                steps_done = i + 1 - steps_at_t0
+                # log_every=1: the first log line is the compile step
+                # itself — rate falls back to the cumulative window.
+                if steps_done == 0:
+                    steps_done, dt = 1, time.perf_counter() - t_start
+                rate = steps_done * rays_per_batch / max(dt, 1e-9)
                 ovf = int(metrics.get("overflow_rays", 0))
                 log_fn(
                     f"step {i + 1}/{num_iterations} "

@@ -64,6 +64,11 @@ function pose() {
 }
 async function render(quality) {
   if (busy) return; busy = true;
+  try { await renderInner(quality); }
+  catch (e) { stat.textContent = 'error: ' + e; }
+  finally { busy = false; }
+}
+async function renderInner(quality) {
   const myGen = ++gen;
   const t0 = performance.now();
   if (quality == 'full') {
@@ -73,12 +78,13 @@ async function render(quality) {
     const cv = document.createElement('canvas');
     cv.width = side; cv.height = side;
     const ctx = cv.getContext('2d');
-    ctx.drawImage(img, 0, 0, side, side);  // last frame as backdrop
+    if (img.complete && img.naturalWidth)
+      ctx.drawImage(img, 0, 0, side, side);  // last frame as backdrop
     for (let t = 0; t < tiles; t++) {
       const res = await fetch('/render', {method:'POST',
         body: JSON.stringify({position: pose(), quality: 'full',
           mode: mode, side: side, rows: [t*band, (t+1)*band]})});
-      if (myGen !== gen) { busy = false; return; }
+      if (myGen !== gen) return;
       const bmp = await createImageBitmap(await res.blob());
       ctx.drawImage(bmp, 0, t*band);
       img.src = cv.toDataURL();
@@ -95,7 +101,6 @@ async function render(quality) {
         ((performance.now()-t0)/1000).toFixed(2) + 's';
     }
   }
-  busy = false;
 }
 let dragging = false, px = 0, py = 0;
 window.addEventListener('mousedown', e => {dragging = true; px = e.x; py = e.y;});
@@ -192,10 +197,12 @@ class ViewerServer:
         self.camera_angle_x = camera_angle_x
         self.fast_samples = fast_samples
         self.chunk = chunk
-        # March caches keyed by (pose, side, rows); bounded FIFO — a full
-        # progressive frame uses `tiles` entries per pose.
+        # March caches keyed by (pose, side, rows); bounded FIFO sized
+        # for ONE progressive pose (8 row bands). Each entry holds
+        # per-ray interval+stream device arrays — sizable on HBM next to
+        # training state, so the cap is deliberately tight.
         self._caches: "dict[bytes, object]" = {}
-        self._max_caches = 16
+        self._max_caches = 8
         self._lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
@@ -235,9 +242,16 @@ class ViewerServer:
                     out = self._render(o, d, c2w, side, quality, y0, y1)
                     break
                 except Exception:
+                    # A deterministic error still surfaces (with its
+                    # traceback) on the second attempt; the cost of one
+                    # re-march is accepted to keep live-training frames
+                    # flowing.
                     if attempt:
                         raise
-                    self._caches.clear()  # may hold stale arrays
+                    if quality == "full":
+                        # Cached marches may hold donated (stale)
+                        # arrays; the fast path never touches them.
+                        self._caches.clear()
         img = Image.fromarray(_colorize(out, (y1 - y0, side), mode))
         buf = io.BytesIO()
         img.save(buf, format="PNG")
