@@ -122,3 +122,14 @@ def test_slim_mesh_march_parity(ball_points):
     np.testing.assert_array_equal(
         np.asarray(full.feats), np.asarray(thin.feats)
     )
+
+
+def test_build_mesh_tables_stay_on_host(ball_points):
+    """build_mesh must return HOST (numpy) tables: the long-lived
+    model.mesh reference must not pin the full tables in device HBM
+    (consumers device_put what they need once)."""
+    mesh = build_mesh(ball_points)
+    import dataclasses
+
+    for f in dataclasses.fields(mesh):
+        assert isinstance(getattr(mesh, f.name), np.ndarray), f.name
