@@ -362,3 +362,54 @@ def test_occupancy_field_training(scene):
         np.asarray(trainer.mesh_tables.march_table[:, 24]).max() > 0.01
     )  # packed into the march rows
     assert np.isfinite(last) and last < first
+
+
+def test_occupancy_survives_checkpoint(tmp_path):
+    """The warm occupancy EMA (and its packed march-table column) is
+    persisted with the checkpoint and restored on resume."""
+    import jax.numpy as jnp
+
+    from tetranerf_tpu.geometry import build_mesh
+    from tetranerf_tpu.models import TetraNerf, TetrahedraNerfConfig
+    from tetranerf_tpu.training import Trainer, tetranerf_preset
+    from tetranerf_tpu.utils import (
+        make_sphere_scene,
+        sample_sphere_rays,
+        sphere_ray_targets,
+    )
+
+    points, colors = make_sphere_scene(400, seed=5)
+    mesh = build_mesh(points)
+    config = tetranerf_preset()
+    config.model = TetrahedraNerfConfig(
+        num_samples=8,
+        num_fine_samples=0,
+        max_intersected_triangles=48,
+        field_dim=8,
+        hidden_size=16,
+        compute_dtype="float32",
+        use_occupancy_field=True,
+        occupancy_update_every=1,
+    )
+
+    def make_trainer():
+        model = TetraNerf(config.model, mesh)
+        return Trainer(config, model, point_colors=colors)
+
+    tr = make_trainer()
+    rng = np.random.default_rng(0)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    for _ in range(3):
+        tr.train_step(batch)
+    occ = np.asarray(tr._occ)
+    assert occ.max() > 0.0  # EMA actually warmed
+    ckpt = str(tmp_path / "ck")
+    tr.save_checkpoint(ckpt)
+
+    tr2 = make_trainer()
+    tr2.restore_checkpoint(ckpt)
+    np.testing.assert_array_equal(np.asarray(tr2._occ), occ)
+    np.testing.assert_array_equal(
+        np.asarray(tr2.mesh_tables.march_table[:, 24]), occ
+    )

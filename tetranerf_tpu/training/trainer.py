@@ -588,11 +588,33 @@ class Trainer:
         from .checkpoints import save_checkpoint
 
         save_checkpoint(path, self.state, self.config)
+        if self._occ is not None:
+            # Persist the warm occupancy EMA: resume would otherwise
+            # restart from zeros — still exact (zero occupancy never
+            # terminates a ray) but cold for a few hundred steps.
+            np.save(
+                os.path.join(os.path.abspath(path), "occupancy.npy"),
+                np.asarray(self._occ),
+            )
 
     def restore_checkpoint(self, path: str):
         from .checkpoints import restore_checkpoint
 
         self.state = restore_checkpoint(path, self.state)
+        occ_path = os.path.join(os.path.abspath(path), "occupancy.npy")
+        if self.model.config.use_occupancy_field and os.path.exists(occ_path):
+            self._occ = jax.device_put(
+                jnp.asarray(np.load(occ_path)), self._rep
+            )
+            self.mesh_tables = dataclasses.replace(
+                self.mesh_tables,
+                march_table=jax.device_put(
+                    jnp.asarray(self.mesh_tables.march_table)
+                    .at[:, 24]
+                    .set(self._occ),
+                    self._rep,
+                ),
+            )
 
     # ------------------------------------------------------------------ loop
     def fit(
