@@ -27,6 +27,9 @@ def main():
     t0 = time.perf_counter()
     points, colors = make_sphere_scene(100_000, seed=0)
     mesh = build_mesh(points, two_hop_table=False)
+    # On device once: jitted closures over a numpy mesh would embed
+    # the tables as HLO constants.
+    mesh = jax.device_put(mesh)
     print(f"# mesh built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)

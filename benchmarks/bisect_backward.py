@@ -49,6 +49,9 @@ def main():
 
     points, colors = make_sphere_scene(args.points, seed=0)
     mesh = build_mesh(points, two_hop_table=False)
+    # On device once: jitted closures over a numpy mesh would embed
+    # the tables as HLO constants.
+    mesh = jax.device_put(mesh)
 
     config = tetranerf_preset()
     config.model.num_samples = args.num_samples

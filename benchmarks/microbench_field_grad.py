@@ -41,6 +41,9 @@ def main():
     R, T, S = 8192, 240, 257
     points, _ = make_sphere_scene(100_000, seed=0)
     mesh = build_mesh(points, two_hop_table=False)
+    # On device once: jitted closures over a numpy mesh would embed
+    # the tables as HLO constants.
+    mesh = jax.device_put(mesh)
     V = mesh.num_vertices
     field = jnp.asarray(
         np.random.default_rng(0).normal(size=(V, 64)), jnp.float32
@@ -138,6 +141,9 @@ def modes():
     R, T, S = 8192, 240, 257
     points, _ = make_sphere_scene(100_000, seed=0)
     mesh = build_mesh(points, two_hop_table=False)
+    # On device once: jitted closures over a numpy mesh would embed
+    # the tables as HLO constants.
+    mesh = jax.device_put(mesh)
     V = mesh.num_vertices
     field = jnp.asarray(
         np.random.default_rng(0).normal(size=(V, 64)), jnp.float32

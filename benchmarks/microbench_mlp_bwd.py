@@ -34,6 +34,9 @@ def main():
 
     points, colors = make_sphere_scene(2000, seed=0)
     mesh = build_mesh(points)
+    # On device once: jitted closures over a numpy mesh would embed
+    # the tables as HLO constants.
+    mesh = jax.device_put(mesh)
     config = tetranerf_preset()
     model = TetraNerf(config.model, mesh)
     params = model.init_params(jax.random.PRNGKey(0), colors)

@@ -47,8 +47,9 @@ class TetrahedraTracer:
             np.asarray(cells, np.int32),
             two_hop_table=False,
         )
-        if self.device is not None:
-            mesh = jax.device_put(mesh, self.device)
+        # Always place on device once: build_mesh returns host tables,
+        # and repeated tracer calls should not re-transfer them.
+        mesh = jax.device_put(mesh, self.device)
         self.mesh = mesh
 
     def _require_mesh(self) -> TetrahedraMesh:
