@@ -264,6 +264,54 @@ def test_ray_buckets_match_unbucketed(scene):
     assert np.isfinite(np.asarray(out3["rgb"])).all()
 
 
+def test_occupancy_retune_shrinks_and_regrows_bound(scene):
+    """With a warm (opaque) occupancy field the retune probe must shrink
+    the static traversal bound; if the occupancy later collapses (rays
+    march full chords again and saturate the bound), the same probe must
+    GROW it back — growth, never silent truncation."""
+    import dataclasses as dc
+
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(
+        max_intersected_triangles=96, use_occupancy_field=True,
+        occupancy_retune_every=0,  # driven manually below
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    trainer.train_step(batch)  # triggers the cold tune
+    cold = trainer.tuned_max_steps or 96
+    # Make every cell near-opaque: rays terminate after a handful of
+    # crossings, so the occupancy-aware probe sees a tiny max.
+    occ = jnp.full(mesh.num_cells, 0.9, jnp.float32)
+    trainer._occ = occ
+    trainer.mesh_tables = dc.replace(
+        trainer.mesh_tables,
+        march_table=jnp.asarray(trainer.mesh_tables.march_table)
+        .at[:, 24]
+        .set(occ),
+    )
+    shrunk = trainer.retune_with_occupancy(batch)
+    assert shrunk < cold
+    # Training still runs at the tight bound and reports no overflow
+    # (terminated-by-occupancy is not truncation).
+    metrics = trainer.train_step(batch)
+    assert int(metrics["overflow_rays"]) == 0
+    # Occupancy collapses to zero -> probe saturates the tight bound ->
+    # the 1.5x margin must reopen it.
+    trainer.mesh_tables = dc.replace(
+        trainer.mesh_tables,
+        march_table=jnp.asarray(trainer.mesh_tables.march_table)
+        .at[:, 24]
+        .set(0.0),
+    )
+    regrown = trainer.retune_with_occupancy(batch)
+    assert regrown > shrunk
+
+
 def test_overflow_metric_and_no_config_mutation(scene):
     """An adversarially tight step bound must (a) be reported via the
     overflow_rays metric instead of silently truncating, and (b) never be

@@ -53,6 +53,16 @@ class TetrahedraNerfConfig:
     """Terminate a ray when its transmittance proxy falls below this."""
     occupancy_decay: float = 0.95
     """EMA decay for the per-cell max-weight occupancy."""
+    occupancy_retune_every: int = 256
+    """Steps between occupancy-aware traversal-bound retunes (0 =
+    never). Once the occupancy EMA is warm, rays terminate long before
+    the cold-probe bound; re-probing max crossings WITH termination
+    active lets the trainer shrink the static bound ``T`` — which
+    shrinks every [R, T]-shaped stage of the step (march, interval
+    matching, endpoint buffers, the backward scatter stream), not just
+    the march. The probe keeps the same 1.5x safety margin and GROWS
+    the bound again if it ever saturates (so truncation self-heals);
+    overflow is still surfaced via the ``overflow_rays`` metric."""
 
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"

@@ -73,6 +73,10 @@ def main(argv=None):
     parser.add_argument("--max-intersected-triangles", type=int, default=None)
     parser.add_argument("--field-dim", type=int, default=None)
     parser.add_argument("--background-color", default=None)
+    parser.add_argument("--occupancy", action="store_true",
+                        help="maintain the per-cell occupancy EMA and use "
+                        "it for ray termination + traversal-bound "
+                        "retuning (steady-state throughput)")
     parser.add_argument("--viewer-port", type=int, default=None,
                         help="serve the interactive orbit viewer on this "
                         "port DURING training (frames render against the "
@@ -109,6 +113,8 @@ def main(argv=None):
         v = getattr(args, field)
         if v is not None:
             setattr(config.model, field, v)
+    if args.occupancy:
+        config.model.use_occupancy_field = True
 
     print(f"loading dataset from {args.data} ...", file=sys.stderr)
     kwargs = {"downscale": args.downscale} if args.downscale != 1 else {}

@@ -42,6 +42,12 @@ class TrainState:
         return dataclasses.replace(self, **kwargs)
 
 
+def _rounded_bound(crossings) -> int:
+    """Traversal bound from an observed max crossing count: 1.5x margin,
+    rounded up to a multiple of 16, never below 16."""
+    return max(16, int(np.ceil(crossings * 1.5 / 16)) * 16)
+
+
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     """RAdam + exponential decay (``registration.py:37-45``)."""
     schedule = optax.exponential_decay(
@@ -268,9 +274,7 @@ class Trainer:
         num_valid, chord = jax.jit(probe)(self.mesh_tables, o, d)
         num_valid = np.asarray(num_valid)
         chord = np.asarray(chord)
-
-        def rounded_bound(crossings):
-            return max(16, int(np.ceil(crossings * 1.5 / 16)) * 16)
+        rounded_bound = _rounded_bound
 
         tuned = min(
             cfg.max_intersected_triangles, rounded_bound(num_valid.max())
@@ -383,6 +387,51 @@ class Trainer:
             ),
         )
 
+    def retune_with_occupancy(self, batch: Dict[str, np.ndarray]) -> int:
+        """Re-probe max crossings WITH occupancy termination and rebuild
+        the step at the tighter static bound.
+
+        A warm occupancy field stops most rays within a few dozen cells,
+        but the cold-probe bound (``tune_traversal_steps``) was sized for
+        full hull chords — so every [R, T]-shaped stage (march, interval
+        matching, endpoint-feature buffers, the backward scatter stream)
+        still pays the cold T. Shrinking the bound is the step that turns
+        early termination into wall-clock across the WHOLE step.
+
+        Safety: the probe keeps the 1.5x margin; if the observed max ever
+        reaches the current bound (termination regressed / occupancy
+        decayed), the margin re-opens the bound — growth, not silent
+        truncation. ``overflow_rays`` still reports per-step truncation.
+        """
+        cfg = self.model.config
+        cur = self.tuned_max_steps or cfg.max_intersected_triangles
+        key = ("occ_probe", cur)
+        fn = self._fast_eval_fns.get(key)
+        if fn is None:
+            from ..ops.fused import march_features
+
+            def probe(m, o, d):
+                return march_features(
+                    m, None, o, d, cur,
+                    use_occupancy=True,
+                    occ_threshold=cfg.occupancy_threshold,
+                ).num_valid
+
+            fn = jax.jit(probe)
+            self._fast_eval_fns[key] = fn
+        o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
+        d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
+        observed = int(np.asarray(fn(self.mesh_tables, o, d)).max())
+        bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
+        # Hysteresis: a recompile costs ~a minute on slow hosts — only
+        # rebuild for a meaningful shrink, or for ANY growth (truncation).
+        if bound < cur - 16 or bound > cur:
+            self.tuned_max_steps = bound
+            if self.tuned_short_steps is not None:
+                self.tuned_short_steps = min(self.tuned_short_steps, bound)
+            self._build_steps()
+        return self.tuned_max_steps or cfg.max_intersected_triangles
+
     def train_step(self, batch: Dict[str, np.ndarray]):
         """One optimization step.
 
@@ -401,6 +450,13 @@ class Trainer:
             and self._step_count % cfg.occupancy_update_every == 0
         ):
             self.update_occupancy(batch)
+        if (
+            cfg.use_occupancy_field
+            and cfg.occupancy_retune_every
+            and self._step_count > 0
+            and self._step_count % cfg.occupancy_retune_every == 0
+        ):
+            self.retune_with_occupancy(batch)
         self._step_count += 1
         from ..parallel.sharding import make_global_batch
 
