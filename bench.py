@@ -1,10 +1,16 @@
 """Training-throughput benchmark on real hardware.
 
 Measures end-to-end training rays/sec (forward + backward + optimizer,
-flagship ``tetra-nerf`` biased-sampling config) on a synthetic scene sized
-like a sparse COLMAP reconstruction. Prints ONE JSON line; ``vs_baseline``
-is measured against the 2M rays/sec/chip north-star target
-(BASELINE.md — the reference publishes no numeric throughput).
+flagship ``tetra-nerf`` config) on a synthetic scene sized like a sparse
+COLMAP reconstruction. Prints ONE JSON line; ``vs_baseline`` is measured
+against the 2M rays/sec/chip north-star target (BASELINE.md — the
+reference publishes no numeric throughput).
+
+The default measures the flagship *steady state*: the occupancy EMA is
+warmed for ``--warmup-steps`` real training steps (long enough for the
+surface to form and the occupancy-aware bound retune at step 256 to
+fire), exactly as a real 300k-step run spends >99.9% of its time. Pass
+``--warmup-steps 0 --no-occupancy`` for the cold number.
 
 Usage: python bench.py [--points N] [--rays N] [--steps N]
 """
@@ -27,15 +33,23 @@ def main():
     parser.add_argument("--max-steps", type=int, default=256,
                         help="traversal step bound per ray")
     parser.add_argument("--num-samples", type=int, default=128)
-    parser.add_argument("--occupancy", action="store_true",
-                        help="enable occupancy-driven ray termination")
-    parser.add_argument("--warmup-steps", type=int, default=0,
+    parser.add_argument("--no-occupancy", action="store_true",
+                        help="disable occupancy-driven ray termination "
+                        "(the flagship preset default is ON)")
+    parser.add_argument("--warmup-steps", type=int, default=200,
                         help="un-timed training steps before measuring "
-                        "(lets the occupancy EMA reach steady state, as "
-                        "in a real 300k-step run)")
+                        "(lets the surface form, the full-coverage "
+                        "occupancy refresh at step 64/128 warm the EMA, "
+                        "and the step-128 bound retune fire, as in a "
+                        "real 300k-step run)")
     args = parser.parse_args()
 
     import jax
+
+    # Persistent compile cache: bound retunes recompile the step at a
+    # new static shape (~minutes on slow hosts); reruns hit the cache.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tetranerf_tpu.geometry import build_mesh
     from tetranerf_tpu.models import TetraNerf
@@ -59,8 +73,8 @@ def main():
     config.model.num_samples = args.num_samples
     config.model.num_fine_samples = args.num_samples
     config.model.max_intersected_triangles = args.max_steps
-    if args.occupancy:
-        config.model.use_occupancy_field = True
+    if args.no_occupancy:
+        config.model.use_occupancy_field = False
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 
@@ -87,7 +101,8 @@ def main():
     if args.warmup_steps:
         print(
             f"# warmed up {args.warmup_steps} steps "
-            f"(loss={float(m['loss']):.4f})",
+            f"(loss={float(m['loss']):.4f}, "
+            f"tuned bound={trainer.tuned_max_steps})",
             file=sys.stderr,
         )
     t0 = time.perf_counter()

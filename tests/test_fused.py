@@ -182,14 +182,15 @@ def test_biased_warp_range_matches_compacted(ball_mesh, rng):
 
 
 def test_occupancy_early_termination(ball_mesh):
-    """With saturated occupancy in the packed rows, rays terminate after
-    ~2 cells (transmittance proxy (1-0.995)^2 < 1e-3) instead of
-    marching the whole chord; occupancy=0 (initial state) is exact."""
+    """With a huge density estimate in the packed rows, rays accumulate
+    optical depth past -log(1e-3) within a few cells and terminate
+    instead of marching the whole chord; density=0 (initial state) is
+    exact."""
     rng = np.random.default_rng(0)
     o, d = _rays(rng, 32)
     base = march_features(ball_mesh, None, o, d, max_steps=128)
     occupied = ball_mesh.with_occupancy(
-        np.ones(ball_mesh.num_cells, np.float32)
+        np.full(ball_mesh.num_cells, 1e4, np.float32)
     )
     # occupancy present but termination off -> identical result
     off = march_features(occupied, None, o, d, max_steps=128)
@@ -203,8 +204,8 @@ def test_occupancy_early_termination(ball_mesh):
     assert hit.any()
     nv_term = np.asarray(term.num_valid)[hit]
     nv_base = np.asarray(base.num_valid)[np.asarray(base.hit)]
-    assert nv_term.max() <= 2
-    assert nv_base.max() > 4  # the full march goes much deeper
+    assert nv_term.max() <= 4  # a couple of grazing slivers at most
+    assert nv_base.max() > 8  # the full march goes much deeper
     assert not np.asarray(term.overflow).any()  # termination != overflow
     # Zero occupancy terminates nothing even with the flag on.
     zero = march_features(
@@ -273,7 +274,7 @@ def test_compaction_with_occupancy(ball_mesh):
     rng = np.random.default_rng(5)
     o, d = _rays(rng, 256)
     occupied = ball_mesh.with_occupancy(
-        np.ones(ball_mesh.num_cells, np.float32)
+        np.full(ball_mesh.num_cells, 1e4, np.float32)
     )
     base = march_features(
         occupied, None, o, d, max_steps=64, use_occupancy=True

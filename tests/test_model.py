@@ -284,9 +284,11 @@ def test_occupancy_retune_shrinks_and_regrows_bound(scene):
     batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
     trainer.train_step(batch)  # triggers the cold tune
     cold = trainer.tuned_max_steps or 96
-    # Make every cell near-opaque: rays terminate after a handful of
-    # crossings, so the occupancy-aware probe sees a tiny max.
-    occ = jnp.full(mesh.num_cells, 0.9, jnp.float32)
+    # Make every cell dense: optical depth accumulates fast, rays
+    # terminate after a handful of crossings, so the occupancy-aware
+    # probe sees a tiny max. (Column 24 holds a DENSITY estimate; 50
+    # per unit length over ~0.05-long cells ~= 2.5 depth per crossing.)
+    occ = jnp.full(mesh.num_cells, 50.0, jnp.float32)
     trainer._occ = occ
     trainer.mesh_tables = dc.replace(
         trainer.mesh_tables,
@@ -410,6 +412,43 @@ def test_occupancy_field_training(scene):
         np.asarray(trainer.mesh_tables.march_table[:, 24]).max() > 0.01
     )  # packed into the march rows
     assert np.isfinite(last) and last < first
+
+
+def test_occupancy_refresh_full_coverage(scene):
+    """refresh_occupancy: every cell's occupancy equals the opacity of
+    the density MLP at its centroid over its Cauchy mean chord (4V/S) —
+    computed here independently — and the packed march-table column is
+    updated."""
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(
+        use_occupancy_field=True,
+        occupancy_update_every=0,
+        occupancy_refresh_every=0,  # driven manually below
+        occupancy_retune_every=0,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(11)
+    o, d = sample_sphere_rays(rng, 128)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    for _ in range(5):
+        trainer.train_step(batch)
+    trainer.refresh_occupancy()
+    occ = np.asarray(trainer._occ)
+
+    # Independent reference: centroid features -> density.
+    params = jax.device_get(trainer.state.params)
+    cells = np.asarray(mesh.cells)
+    feats = np.asarray(params["tetrahedra_field"])[cells].mean(axis=1)
+    dens = np.asarray(
+        model.density_at(trainer.state.params, jnp.asarray(feats))
+    )
+    np.testing.assert_allclose(occ, dens, rtol=1e-4, atol=1e-5)
+    assert occ.max() > 0.01  # the density field is actually nonzero
+    np.testing.assert_array_equal(
+        np.asarray(trainer.mesh_tables.march_table[:, 24]), occ
+    )
 
 
 def test_occupancy_survives_checkpoint(tmp_path):

@@ -33,13 +33,19 @@ class TetrahedraNerfConfig:
     appearance_embed_dim: int
     use_occupancy_field: bool
     occupancy_update_every: int
+    occupancy_refresh_every: int
     occupancy_threshold: float
     occupancy_decay: float
+    occupancy_retune_every: int
+    occupancy_retune_percentile: float
     compute_dtype: str
+    interp_mode: str
     remat_mlps: bool
+    fused_mlps: bool
     ray_buckets: int
     bucket_short_steps: Optional[int]
     traversal_hops: int
+    march_compaction: int
     far_plane: float
     depth_method: Literal["median", "expected"]
     def __init__(
@@ -62,13 +68,19 @@ class TetrahedraNerfConfig:
         appearance_embed_dim: int = ...,
         use_occupancy_field: bool = ...,
         occupancy_update_every: int = ...,
+        occupancy_refresh_every: int = ...,
         occupancy_threshold: float = ...,
         occupancy_decay: float = ...,
+        occupancy_retune_every: int = ...,
+        occupancy_retune_percentile: float = ...,
         compute_dtype: str = ...,
+        interp_mode: str = ...,
         remat_mlps: bool = ...,
+        fused_mlps: bool = ...,
         ray_buckets: int = ...,
         bucket_short_steps: Optional[int] = ...,
         traversal_hops: int = ...,
+        march_compaction: int = ...,
         far_plane: float = ...,
         depth_method: str = ...,
     ) -> None: ...

@@ -42,17 +42,28 @@ class TetrahedraNerfConfig:
     """Per-image appearance embedding dimension (0 = disabled)."""
 
     use_occupancy_field: bool = False
-    """Maintain an EMA per-cell occupancy field and use it for
-    transmittance-based early termination in the march (the reference
-    registers the buffer and ships a scatter-EMA kernel for it but never
-    wires either into the forward pass; ``model.py:256-265``,
+    """Maintain an EMA per-cell density estimate and use it for
+    transmittance-based early termination in the march: the march
+    accumulates ``sigma * dt`` over crossed cells (exact per-ray
+    chords) and stops once the estimated transmittance drops below
+    ``occupancy_threshold`` (the reference registers an occupancy
+    buffer and ships a scatter-EMA kernel for it but never wires either
+    into the forward pass; ``model.py:256-265``,
     ``src/tetrahedra_tracer.cu:55-113``)."""
     occupancy_update_every: int = 16
-    """Train steps between occupancy EMA updates (use_occupancy_field)."""
+    """Train steps between ray-based occupancy EMA updates (per-interval
+    max sample density; use_occupancy_field); 0 disables."""
+    occupancy_refresh_every: int = 64
+    """Train steps between full-coverage occupancy refreshes: the
+    density MLP is evaluated at EVERY cell's centroid (exact barycentric
+    feature mean — no rays, no sampling holes) and maxed into the EMA.
+    Warms the whole field within one refresh once the surface has
+    formed, instead of waiting for stochastic ray coverage. 0 disables."""
     occupancy_threshold: float = 1e-3
-    """Terminate a ray when its transmittance proxy falls below this."""
+    """Terminate a ray when its estimated transmittance
+    ``exp(-sum sigma * dt)`` falls below this."""
     occupancy_decay: float = 0.95
-    """EMA decay for the per-cell max-weight occupancy."""
+    """EMA decay for the per-cell max-density estimate."""
     occupancy_retune_every: int = 256
     """Steps between occupancy-aware traversal-bound retunes (0 =
     never). Once the occupancy EMA is warm, rays terminate long before
@@ -63,6 +74,16 @@ class TetrahedraNerfConfig:
     the march. The probe keeps the same 1.5x safety margin and GROWS
     the bound again if it ever saturates (so truncation self-heals);
     overflow is still surfaced via the ``overflow_rays`` metric."""
+    occupancy_retune_percentile: float = 100.0
+    """Crossing-count percentile the occupancy retune sizes the bound
+    from. 100 = the batch max: no ray is ever truncated, but a tiny
+    population of deep rays (rays that graze the hull and miss all
+    occupied geometry march their full hull chord) pins the bound for
+    the whole batch. 99 sizes every [R, T] stage for the hit-ray
+    distribution and truncates the deep tail's FAR intervals —
+    contributions there are behind the termination threshold or empty
+    space, and every truncated ray is still counted in
+    ``overflow_rays``."""
 
     # --- TPU-specific additions (no reference counterpart) ---
     compute_dtype: str = "bfloat16"

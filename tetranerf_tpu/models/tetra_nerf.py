@@ -272,6 +272,32 @@ class TetraNerf:
             params, field_values, directions, camera_indices, train
         )[1]
 
+    def density_at(self, params, field_values):
+        """Density head only, at raw interpolated feature vectors
+        ``[..., F]`` — no directions, no color head. Used by the
+        occupancy refresh to evaluate opacity at every cell centroid
+        (the centroid's interpolated feature is the exact barycentric
+        mean of its 4 vertex features)."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        x = field_values
+        if cfg.input_fourier_frequencies > 0:
+            x = nerf_encoding(
+                x,
+                cfg.input_fourier_frequencies,
+                0.0,
+                float(cfg.input_fourier_frequencies),
+            )
+        base_out = nn.mlp_apply(
+            params["mlp_base"], x, out_activation=jax.nn.relu,
+            compute_dtype=dtype, final_dtype=dtype,
+        )
+        return jax.nn.softplus(
+            nn.linear_apply(params["field_output_density"], base_out, dtype)[
+                ..., 0
+            ]
+        ).astype(jnp.float32)
+
     def _field_mlps(self, params, field_values, directions, camera_indices, train):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)

@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.mesh import TetrahedraMesh
 from .pallas_interp import stream_blend
@@ -133,14 +134,18 @@ def march_features(
     gather, halving the traversal's critical path. ``hops=1`` fetches one
     64-float row per step.
 
-    ``use_occupancy`` (hops=1 only) terminates a ray once its
-    transmittance proxy ``prod(1 - occupancy[cell])`` over crossed cells
+    ``use_occupancy`` (hops=1 only) terminates a ray once its estimated
+    transmittance ``exp(-sum sigma[cell] * dt)`` over crossed cells
     drops below ``occ_threshold`` — everything behind is occluded. The
-    per-cell occupancy rides in the packed march row (column 24,
-    ``TetrahedraMesh.with_occupancy``), so the check is free; rays stop
-    contributing march work once every ray in the batch is done (the
-    chunked while_loop exit). Zero occupancy (the initial state) never
-    terminates, so training before the first occupancy update is exact.
+    per-cell density estimate ``sigma`` rides in the packed march row
+    (column 24), and ``dt`` is the ray's EXACT chord through the cell,
+    so the accumulated optical depth is the true transmittance under
+    piecewise-constant density: grazing rays (tiny ``dt``) keep
+    marching, radial rays terminate right behind an opaque surface. The
+    check is free (the row is already fetched); rays stop contributing
+    march work once every ray in the batch is done (the chunked
+    while_loop exit). Zero density (the initial state) never terminates,
+    so training before the first occupancy update is exact.
 
     ``compact_stages`` (hops=1 only) enables per-ray compaction: each
     time at most half the rays remain active, they are packed into a
@@ -261,18 +266,21 @@ def march_features(
     else:
         table = mesh.march_table
 
+        depth_cap = -float(np.log(occ_threshold)) if use_occupancy else 0.0
+
         def step(carry, i):
             consts, state = carry
             o, d, cap = consts
-            c, t, done, vids_prev, pos_prev, trans = state
+            c, t, done, vids_prev, pos_prev, depth = state
             row = table[jnp.maximum(c, 0)]
             (new_c, new_t, new_done), e = hop(c, t, done, row, o, d, cap)
             if use_occupancy:
-                # Transmittance proxy through the crossed cell; the cell
+                # Exact optical depth through the crossed cell (sigma
+                # estimate x the ray's chord through it); the cell
                 # itself is still emitted, later cells are occluded.
-                occ = jnp.minimum(row[..., 24], 0.995)
-                trans = trans * jnp.where(e[3], 1.0 - occ, 1.0)
-                new_done = new_done | (trans < occ_threshold)
+                sigma = row[..., 24]
+                depth = depth + jnp.where(e[3], sigma * (new_t - t), 0.0)
+                new_done = new_done | (depth > depth_cap)
             new_state = (new_c, new_t, new_done)
             vids_cur = e[5]  # [R, 4] current cell's vertex ids
             # Per-ray vertex-stream dedup: a face-adjacent step shares 3
@@ -297,7 +305,7 @@ def march_features(
             # the compaction cascade to be bit-identical, and makes the
             # march deterministic w.r.t. batch composition in general.
             active = e[3]
-            return (consts, (*new_state, vids_cur, pos_cur, trans)), (
+            return (consts, (*new_state, vids_cur, pos_cur, depth)), (
                 e[0],
                 e[1],
                 jnp.where(active[:, None], e[4], 0.0),
@@ -314,7 +322,7 @@ def march_features(
             ~hit,
             vids0,
             pos0,
-            jnp.ones(num_rays, jnp.float32),
+            jnp.zeros(num_rays, jnp.float32),  # accumulated optical depth
         )
         consts = (origins, directions, t_cap)
 

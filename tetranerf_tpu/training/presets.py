@@ -63,6 +63,20 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             num_fine_samples=128,
             use_biased_sampler=True,
             use_gradient_scaling=True,
+            # TPU flagship defaults: opacity-EMA ray termination + the
+            # p99 occupancy retune. Together with march compaction these
+            # shrink the steady-state traversal depth to the entry-shell
+            # scale (quality parity verified on the multi-view run; the
+            # reference has no counterpart — its occupancy buffer is
+            # never read, ``model.py:256-265``).
+            use_occupancy_field=True,
+            occupancy_retune_percentile=99.0,
+            # Density estimation from both sides: the full-coverage
+            # centroid refresh (every 64 steps, ~1ms/step amortized)
+            # warms every cell at once; the ray-based per-interval
+            # max-density EMA (every 16 steps) catches off-centroid
+            # density peaks the centroid probe underestimates.
+            occupancy_retune_every=128,
         ),
     )
     return dataclasses.replace(cfg, **overrides)

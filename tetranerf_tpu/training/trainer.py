@@ -42,10 +42,21 @@ class TrainState:
         return dataclasses.replace(self, **kwargs)
 
 
+_BOUND_GRID = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
 def _rounded_bound(crossings) -> int:
-    """Traversal bound from an observed max crossing count: 1.5x margin,
-    rounded up to a multiple of 16, never below 16."""
-    return max(16, int(np.ceil(crossings * 1.5 / 16)) * 16)
+    """Traversal bound from an observed crossing count: 1.5x margin,
+    rounded UP to a coarse grid. The grid (not a multiple-of-16 round)
+    matters operationally: every distinct bound is a distinct static
+    shape — a full XLA recompile of the train step (~minutes on slow
+    hosts) — so retunes must land on few, stable values that the
+    persistent compile cache can reuse across runs."""
+    need = max(16.0, float(crossings) * 1.5)
+    for g in _BOUND_GRID:
+        if g >= need:
+            return g
+    return int(np.ceil(need / 256)) * 256
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -291,12 +302,23 @@ class Trainer:
 
     # ------------------------------------------------------------ occupancy
     def _occupancy_update_fn(self):
-        """Jitted EMA update of the per-cell occupancy from the current
-        field: a coarse inference pass renders per-sample weights, the
-        per-interval max weight is reduced gather-free, and cells take
-        ``max(decay * occ, observed)`` — the role the reference built
-        ``scatter_ema_uint32`` for (``src/tetrahedra_tracer.cu:55-113``)
-        but never wired in."""
+        """Jitted EMA update of the per-cell DENSITY estimate from the
+        current field: a coarse inference pass evaluates per-sample
+        density, the per-interval max density is reduced gather-free,
+        and cells take ``max(decay * occ, sigma)`` — the role the
+        reference built ``scatter_ema_uint32`` for
+        (``src/tetrahedra_tracer.cu:55-113``) but never wired in.
+
+        The EMA MUST store per-cell *density*, not blend weight: blend
+        weights ``w = alpha * T`` along a ray sum to at most 1, so a
+        weight-based transmittance proxy ``prod(1 - w_i)`` is bounded
+        below by ~``exp(-sum w) >= e^-1`` and can never cross a 1e-3
+        termination threshold. Density has no such bound — the march
+        accumulates ``sigma * dt`` (exact per-ray chords) into an
+        optical depth that diverges at an opaque surface, so rays
+        genuinely terminate there while grazing rays (tiny chords)
+        correctly keep marching (measured on the bench scene: mean
+        crossings 173.6 -> ~entry-shell depth)."""
         if self._occ_update is not None:
             return self._occ_update
         from ..ops.fused import (
@@ -305,7 +327,6 @@ class Trainer:
             ray_bounds,
             sample_features,
         )
-        from ..ops.rendering import render_weights
         from ..ops.sampling import stratified_bins
 
         model = self.model
@@ -331,28 +352,27 @@ class Trainer:
                     res, first, nk, nears, fars, euclid
                 )
             distances = (euclid[:, 1:] + euclid[:, :-1]) / 2.0
-            deltas = euclid[:, 1:] - euclid[:, :-1]
             feats, smask = sample_features(res, distances, mask)
             _, dens = model._field_mlps(
                 params, feats, directions, None, False
             )
             dens = jnp.where(smask, dens, 0.0)
-            w = render_weights(dens, deltas)  # [R, S]
-            # Per-interval max sample weight, gather-free.
+            # Per-interval max sample density, gather-free.
             t1 = res.t1
             max_t = t1.shape[1]
             gt = t1[:, None, :] > distances[:, :, None]  # [R, S, T]
             k = max_t - jnp.sum(gt.astype(jnp.int32), axis=-1)
             slots = jnp.arange(max_t, dtype=jnp.int32)[None, None, :]
             onehot = slots == jnp.minimum(k, max_t - 1)[:, :, None]
-            w_int = jnp.max(
+            sig_int = jnp.max(
                 jnp.where(
-                    onehot & smask[:, :, None], w[:, :, None], 0.0
+                    onehot & smask[:, :, None], dens[:, :, None], 0.0
                 ),
                 axis=1,
-            )  # [R, T]
+            )  # [R, T] per-interval max density (NOT the blend weight —
+            # see the docstring above for why weights cannot terminate).
             cells_flat = jnp.where(res.valid, res.cells, -1).reshape(-1)
-            vals = jnp.where(cells_flat >= 0, w_int.reshape(-1), 0.0)
+            vals = jnp.where(cells_flat >= 0, sig_int.reshape(-1), 0.0)
             occ = occ * cfg.occupancy_decay
             # Invalid slots write max(occ[0], 0) == occ[0]: a no-op.
             occ = occ.at[jnp.maximum(cells_flat, 0)].max(vals)
@@ -361,12 +381,27 @@ class Trainer:
         self._occ_update = jax.jit(update, donate_argnums=(1,))
         return self._occ_update
 
-    def update_occupancy(self, batch: Dict[str, np.ndarray]):
-        """Refresh the occupancy EMA + the packed march-table column."""
+    def _write_occ_column(self):
+        """Write the occupancy EMA into the packed march-table column."""
+        self.mesh_tables = dataclasses.replace(
+            self.mesh_tables,
+            march_table=jax.device_put(
+                jnp.asarray(self.mesh_tables.march_table)
+                .at[:, 24]
+                .set(self._occ),
+                self._rep,
+            ),
+        )
+
+    def _ensure_occ(self):
         if self._occ is None:
             self._occ = jax.device_put(
                 jnp.zeros(self.model.mesh.num_cells, jnp.float32), self._rep
             )
+
+    def update_occupancy(self, batch: Dict[str, np.ndarray]):
+        """Ray-based occupancy EMA update + the packed column write."""
+        self._ensure_occ()
         o = jax.device_put(
             np.asarray(batch["origins"], np.float32), self._batch_sharding
         )
@@ -377,15 +412,62 @@ class Trainer:
         self._occ = self._occupancy_update_fn()(
             self.state.params, self._occ, o, d, self.mesh_tables
         )
-        self.mesh_tables = dataclasses.replace(
-            self.mesh_tables,
-            march_table=jax.device_put(
-                jnp.asarray(self.mesh_tables.march_table)
-                .at[:, 24]
-                .set(self._occ),
-                self._rep,
-            ),
+        self._write_occ_column()
+
+    def _occupancy_refresh_setup(self):
+        """Per-cell centroid-eval table for the full-coverage refresh:
+        the cell->vertex index list, chunk-reshaped for ``lax.map``."""
+        if getattr(self, "_occ_cells", None) is not None:
+            return
+        cells = np.asarray(self.model.mesh.cells)
+        num_cells = len(cells)
+        k = min(65536, -(-num_cells // 256) * 256)  # chunk rows
+        padded = -(-num_cells // k) * k
+        cells_pad = np.zeros((padded, 4), np.int32)
+        cells_pad[:num_cells] = cells
+        self._occ_cells = jax.device_put(
+            jnp.asarray(cells_pad.reshape(padded // k, k, 4)), self._rep
         )
+
+    def _occupancy_refresh_fn(self):
+        if getattr(self, "_occ_refresh", None) is not None:
+            return self._occ_refresh
+        model = self.model
+        cfg = model.config
+        num_cells = model.mesh.num_cells
+
+        def refresh(params, occ, cells_ch):
+            field = params["tetrahedra_field"]
+
+            def chunk(cc):
+                feats = jnp.mean(field[cc], axis=1)  # centroid features
+                return model.density_at(params, feats)
+
+            dens = jax.lax.map(chunk, cells_ch).reshape(-1)
+            return jnp.maximum(
+                occ * cfg.occupancy_decay, dens[:num_cells]
+            )
+
+        self._occ_refresh = jax.jit(refresh, donate_argnums=(1,))
+        return self._occ_refresh
+
+    def refresh_occupancy(self):
+        """Full-coverage occupancy refresh: per-cell density from the
+        MLP at every cell centroid (no rays — no sampling holes; the
+        centroid's interpolated feature is the exact barycentric mean
+        of its 4 vertex features), maxed into the decayed EMA, then
+        written to the packed march-table column. One refresh warms the
+        ENTIRE field once the surface has formed (vs. hundreds of steps
+        of stochastic ray coverage), so the occupancy-aware bound
+        retune can bite early. Centroid sampling UNDERestimates
+        off-center density peaks — which only delays termination
+        (safe), never truncates real contribution."""
+        self._ensure_occ()
+        self._occupancy_refresh_setup()
+        self._occ = self._occupancy_refresh_fn()(
+            self.state.params, self._occ, self._occ_cells
+        )
+        self._write_occ_column()
 
     def retune_with_occupancy(self, batch: Dict[str, np.ndarray]) -> int:
         """Re-probe max crossings WITH occupancy termination and rebuild
@@ -421,7 +503,15 @@ class Trainer:
             self._fast_eval_fns[key] = fn
         o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
         d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
-        observed = int(np.asarray(fn(self.mesh_tables, o, d)).max())
+        nv = np.asarray(fn(self.mesh_tables, o, d))
+        # Percentile sizing: the batch max is dominated by the rare rays
+        # that miss all occupied geometry and march their full hull
+        # chord; sizing for (say) p99 keeps every [R, T]-shaped stage at
+        # the hit-ray scale and truncates only those rays' far tails
+        # (surfaced per step in ``overflow_rays``).
+        observed = int(
+            np.percentile(nv, cfg.occupancy_retune_percentile)
+        )
         bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
         # Hysteresis: a recompile costs ~a minute on slow hosts — only
         # rebuild for a meaningful shrink, or for ANY growth (truncation).
@@ -450,6 +540,13 @@ class Trainer:
             and self._step_count % cfg.occupancy_update_every == 0
         ):
             self.update_occupancy(batch)
+        if (
+            cfg.use_occupancy_field
+            and cfg.occupancy_refresh_every
+            and self._step_count > 0
+            and self._step_count % cfg.occupancy_refresh_every == 0
+        ):
+            self.refresh_occupancy()
         if (
             cfg.use_occupancy_field
             and cfg.occupancy_retune_every
@@ -662,15 +759,7 @@ class Trainer:
             self._occ = jax.device_put(
                 jnp.asarray(np.load(occ_path)), self._rep
             )
-            self.mesh_tables = dataclasses.replace(
-                self.mesh_tables,
-                march_table=jax.device_put(
-                    jnp.asarray(self.mesh_tables.march_table)
-                    .at[:, 24]
-                    .set(self._occ),
-                    self._rep,
-                ),
-            )
+            self._write_occ_column()
 
     # ------------------------------------------------------------------ loop
     def fit(
