@@ -88,7 +88,7 @@ def test_mesh_is_pytree(cube_mesh):
     vertices, cells = cube_mesh
     mesh = build_mesh(vertices, cells)
     leaves = jax.tree_util.tree_leaves(mesh)
-    assert len(leaves) == 9
+    assert len(leaves) == 11  # + skip_table/skip_meta
     mesh2 = jax.tree_util.tree_map(lambda x: x, mesh)
     assert mesh2.num_cells == mesh.num_cells
 

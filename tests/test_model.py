@@ -414,6 +414,39 @@ def test_occupancy_field_training(scene):
     assert np.isfinite(last) and last < first
 
 
+def test_skip_grid_training(scene):
+    """skip_grid_resolution: the trainer builds + attaches the skip grid
+    at the occupancy refresh, the step retraces at the new shape, and
+    training still converges with skipping active."""
+    mesh, colors = scene
+    config = tetranerf_preset(learning_rate=1e-2, learning_rate_final=1e-2)
+    config.model = _small_config(
+        use_occupancy_field=True,
+        occupancy_update_every=3,
+        occupancy_refresh_every=10,
+        occupancy_retune_every=0,
+        skip_grid_resolution=16,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(9)
+    o, d = sample_sphere_rays(rng, 256)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    first = float(trainer.train_step(batch)["loss"])
+    for _ in range(40):
+        metrics = trainer.train_step(batch)
+    last = float(metrics["loss"])
+    assert trainer.mesh_tables.skip_table.shape == (16, 16, 16, 8)
+    rho = np.asarray(trainer.mesh_tables.skip_table[..., 0])
+    assert rho.max() > 0  # some free space exists (outside the hull)
+    assert np.isfinite(last) and last < first
+    # Rendering (eval path) also runs with the grid attached.
+    out = trainer.eval_batch(
+        {"origins": o[:32], "directions": d[:32]}
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
 def test_occupancy_refresh_full_coverage(scene):
     """refresh_occupancy: every cell's occupancy equals the opacity of
     the density MLP at its centroid over its Cauchy mean chord (4V/S) —

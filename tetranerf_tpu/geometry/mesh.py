@@ -71,6 +71,13 @@ class TetrahedraMesh:
             *count*, not row *size*, limits TPU gather throughput, so one
             480-byte fetch advances the march two cells — halving the
             critical-path gather chain.
+        skip_table: ``f32[G, G, G, 8]`` empty-space skip grid (built from
+            the occupancy EMA by :mod:`tetranerf_tpu.ops.skip_grid`; a
+            zero-size array disables skipping). Column 0 is the safe
+            sphere-trace advance distance, column 1 the localization
+            anchor cell (i32 bit-cast).
+        skip_meta: ``f32[8]`` skip-grid geometry: ``lo`` (3) | ``1/h``
+            (3) | ``h_min`` | 0.
     """
 
     vertices: np.ndarray
@@ -82,6 +89,8 @@ class TetrahedraMesh:
     vertex_cells: np.ndarray
     march_table: np.ndarray
     march_table2: np.ndarray
+    skip_table: np.ndarray
+    skip_meta: np.ndarray
 
     @property
     def num_vertices(self) -> int:
@@ -155,16 +164,8 @@ class TetrahedraMesh:
         )
 
     def tree_flatten(self):
-        children = (
-            self.vertices,
-            self.cells,
-            self.neighbors,
-            self.planes,
-            self.hull_eqs,
-            self.hull_cells,
-            self.vertex_cells,
-            self.march_table,
-            self.march_table2,
+        children = tuple(
+            getattr(self, f.name) for f in dataclasses.fields(self)
         )
         return children, None
 
@@ -346,4 +347,6 @@ def build_mesh(
         vertex_cells=vertex_cells,
         march_table=march_table,
         march_table2=march_table2,
+        skip_table=np.zeros((0, 0, 0, 8), np.float32),
+        skip_meta=np.zeros(8, np.float32),
     )

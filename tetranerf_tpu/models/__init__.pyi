@@ -37,6 +37,8 @@ class TetrahedraNerfConfig:
     occupancy_threshold: float
     occupancy_decay: float
     occupancy_retune_every: int
+    skip_grid_resolution: int
+    skip_grid_eps: float
     occupancy_retune_percentile: float
     compute_dtype: str
     interp_mode: str
@@ -72,6 +74,8 @@ class TetrahedraNerfConfig:
         occupancy_threshold: float = ...,
         occupancy_decay: float = ...,
         occupancy_retune_every: int = ...,
+        skip_grid_resolution: int = ...,
+        skip_grid_eps: float = ...,
         occupancy_retune_percentile: float = ...,
         compute_dtype: str = ...,
         interp_mode: str = ...,

@@ -74,6 +74,21 @@ class TetrahedraNerfConfig:
     the march. The probe keeps the same 1.5x safety margin and GROWS
     the bound again if it ever saturates (so truncation self-heals);
     overflow is still surfaced via the ``overflow_rays`` metric."""
+    skip_grid_resolution: int = 0
+    """Empty-space skip grid resolution G (0 = disabled). With
+    ``use_occupancy_field``, the trainer voxelizes the occupancy EMA
+    onto a ``[G, G, G]`` free-space distance grid at every occupancy
+    refresh; the march sphere-traces through it from the hull entry, so
+    empty spans cost one grid gather per ~``max_skip_voxels`` voxels
+    instead of one row gather per crossed cell, and rays that miss all
+    estimated density never march at all (``ops/skip_grid.py``; the
+    reference's OptiX BVH culls empty space the same way for free,
+    ``src/tetrahedra_tracer.cpp:285-332``)."""
+    skip_grid_eps: float = 1e-3
+    """Density threshold below which a voxel counts as empty for
+    skipping. A skipped span of length L forfeits at most ``eps * L``
+    optical depth — keep it well under ``-log(1 -
+    occupancy_threshold)/scene_size``."""
     occupancy_retune_percentile: float = 100.0
     """Crossing-count percentile the occupancy retune sizes the bound
     from. 100 = the batch max: no ray is ever truncated, but a tiny

@@ -73,6 +73,7 @@ def march_features(
     use_occupancy: bool = ...,
     occ_threshold: float = ...,
     compact_stages: int = ...,
+    use_skip: bool = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...

@@ -121,6 +121,7 @@ def march_features(
     use_occupancy: bool = False,
     occ_threshold: float = 1e-3,
     compact_stages: int = 0,
+    use_skip: bool = True,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -154,6 +155,17 @@ def march_features(
     The result is bit-identical to the uncompacted march (stages carry
     full row history and are scattered back). This is what converts
     occupancy/early termination into wall-clock on a SIMD machine.
+
+    ``use_skip`` (with ``use_occupancy`` and a mesh carrying a
+    ``skip_table``, see :mod:`tetranerf_tpu.ops.skip_grid`) sphere-traces
+    each ray from its hull entry through the free-space distance grid
+    before marching: the march then starts at the first cell within one
+    voxel of estimated density, and rays whose trace exits the hull
+    (miss rays) never march at all. The skipped empty prefix emits no
+    intervals — its estimated density is below the grid's ``skip_eps``,
+    so the forfeited optical depth is negligible by construction (the
+    OptiX BVH gives the reference the same culling for free,
+    ``src/tetrahedra_tracer.cpp:285-332``).
     """
     mesh = mesh.on_device()
     origins = jnp.asarray(origins)
@@ -163,8 +175,53 @@ def march_features(
     t_in, t_out, entry_facet, hit = hull_intersect(mesh, origins, directions)
     span = jnp.maximum(t_out - t_in, 1e-30)
     eps_t = 1e-3 * span + 1e-7
-    p_entry = origins + (t_in + eps_t)[:, None] * directions
+    t_cap = t_out + eps_t
+    t_loc = t_in + eps_t
     seed = jnp.where(hit, mesh.hull_cells[entry_facet], -1)
+    skipping = (
+        use_skip
+        and use_occupancy
+        and hops == 1
+        and mesh.skip_table.size > 0  # static: shapes are trace-time
+    )
+    if skipping:
+        st = mesh.skip_table
+        lo = mesh.skip_meta[:3]
+        inv_h = mesh.skip_meta[3:6]
+        gmax = jnp.asarray(
+            [st.shape[0] - 1, st.shape[1] - 1, st.shape[2] - 1], jnp.int32
+        )
+
+        def vox_row(t):
+            p = origins + t[:, None] * directions
+            ij = jnp.clip(
+                ((p - lo[None]) * inv_h[None]).astype(jnp.int32), 0, gmax
+            )
+            return st[ij[:, 0], ij[:, 1], ij[:, 2]]
+
+        def s_cond(carry):
+            _, moving, it = carry
+            return jnp.any(moving) & (it < 64)
+
+        def s_body(carry):
+            t, moving, it = carry
+            rho = vox_row(t)[:, 0]
+            adv = moving & (rho > 0.0)
+            t = jnp.where(adv, t + rho, t)
+            return t, adv & (t < t_cap), it + 1
+
+        t_loc, _, _ = jax.lax.while_loop(
+            s_cond, s_body, (t_loc, hit, jnp.int32(0))
+        )
+        # Rays whose trace left the hull crossed only free space: done.
+        hit = hit & (t_loc < t_cap)
+        row_s = vox_row(jnp.minimum(t_loc, t_cap))
+        anchor = jax.lax.bitcast_convert_type(row_s[:, 1], jnp.int32)
+        skipped = t_loc > t_in + eps_t
+        seed = jnp.where(
+            ~hit, -1, jnp.where(skipped & (anchor >= 0), anchor, seed)
+        )
+    p_entry = origins + t_loc[:, None] * directions
     entry_cell = _walk_packed(
         mesh.march_table, seed, p_entry, entry_walk_steps
     )
@@ -191,13 +248,12 @@ def march_features(
     c0_safe = jnp.maximum(entry_cell, 0)
     row0 = mesh.march_table[c0_safe]
     b0, den0, t_cross0, _, vids0 = crossings(
-        row0, t_in + eps_t, origins, directions
+        row0, t_loc, origins, directions
     )
     t_entry = jnp.max(jnp.where(den0 > 0.0, t_cross0, -jnp.inf), axis=-1)
-    t_entry = jnp.where(jnp.isfinite(t_entry), t_entry, t_in)
-    t_cap = t_out + eps_t
+    t_entry = jnp.where(jnp.isfinite(t_entry), t_entry, t_loc)
 
-    bary_entry = b0 + (t_entry - (t_in + eps_t))[:, None] * den0
+    bary_entry = b0 + (t_entry - t_loc)[:, None] * den0
 
     def hop(c, t, done, row, o, d, cap):
         """One marching hop given the cell's packed 24-float row."""

@@ -468,6 +468,45 @@ class Trainer:
             self.state.params, self._occ, self._occ_cells
         )
         self._write_occ_column()
+        self._rebuild_skip_grid()
+
+    def _rebuild_skip_grid(self):
+        """(Re)build the empty-space skip grid from the occupancy EMA
+        and attach it to the device mesh tables (``ops/skip_grid.py``).
+        The one-time anchor/voxel setup is cached; the per-refresh
+        rebuild is a jitted dense-grid pass. The first attach changes
+        the skip table's static shape, so the train step retraces once
+        (persistent-cached thereafter)."""
+        cfg = self.model.config
+        res = getattr(cfg, "skip_grid_resolution", 0)
+        if not res or self._occ is None:
+            return
+        # Collapse guard: an (effectively) all-empty EMA would mark the
+        # whole grid free and skip EVERY ray's full chord — no samples,
+        # no gradient, training dead. Only attach a grid once the field
+        # has formed estimated density somewhere.
+        if float(jnp.max(self._occ)) <= cfg.skip_grid_eps:
+            return
+        from ..ops.skip_grid import build_skip_table, make_skip_setup
+
+        if getattr(self, "_skip_setup", None) is None:
+            self._skip_setup = make_skip_setup(
+                self.model.mesh, res,
+                march_table=self.mesh_tables.march_table,
+            )
+            import functools
+
+            self._skip_build = jax.jit(
+                functools.partial(
+                    build_skip_table, skip_eps=cfg.skip_grid_eps
+                )
+            )
+        table = self._skip_build(self._occ, self._skip_setup)
+        self.mesh_tables = dataclasses.replace(
+            self.mesh_tables,
+            skip_table=jax.device_put(table, self._rep),
+            skip_meta=jax.device_put(self._skip_setup.meta, self._rep),
+        )
 
     def retune_with_occupancy(self, batch: Dict[str, np.ndarray]) -> int:
         """Re-probe max crossings WITH occupancy termination and rebuild
@@ -760,6 +799,7 @@ class Trainer:
                 jnp.asarray(np.load(occ_path)), self._rep
             )
             self._write_occ_column()
+            self._rebuild_skip_grid()
 
     # ------------------------------------------------------------------ loop
     def fit(
