@@ -24,6 +24,8 @@ def main():
     p.add_argument("--points", type=int, default=100_000)
     p.add_argument("--rays", type=int, default=8192)
     p.add_argument("--warmup", type=int, default=300)
+    p.add_argument("--skip-grid", type=int, default=0,
+                   help="empty-space skip grid resolution (0 = off)")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -49,6 +51,7 @@ def main():
     config.model.num_fine_samples = 128
     config.model.max_intersected_triangles = 256
     config.model.use_occupancy_field = True
+    config.model.skip_grid_resolution = args.skip_grid
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 

@@ -37,13 +37,22 @@ def benchmark(
     warmup: int = 1,
     repeats: int = 2,
     host_overhead: float = 0.0,
+    min_dispatches: int = 16,
 ) -> float:
     """Steady-state seconds per call of ``fn`` over a set of argument
     tuples, pipelining all dispatches between host syncs.
 
     ``args_list`` should contain several distinct argument tuples (some
-    execution environments memoize identical dispatches).
+    execution environments memoize identical dispatches). The list is
+    cycled up to ``min_dispatches`` per sync: this host pays a measured
+    ~35-40 ms round trip PER SYNC (tunneled device), so a 4-deep
+    pipeline inflates every per-call figure by ~10 ms — sub-10ms ops
+    need ≥16 dispatches per sync to be resolvable at all. For exact
+    per-op device times use ``benchmarks/trace_step.py`` (XLA profiler)
+    instead of wall clocks.
     """
+    reps = max(1, -(-min_dispatches // max(len(args_list), 1)))
+    calls = list(args_list) * reps
     for _ in range(warmup):
         outs = [fn(*args) for args in args_list]
         jax.block_until_ready(outs)
@@ -51,9 +60,9 @@ def benchmark(
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [fn(*args) for args in args_list]
+        outs = [fn(*args) for args in calls]
         _force(outs[-1])
-        dt = (time.perf_counter() - t0 - host_overhead) / len(args_list)
+        dt = (time.perf_counter() - t0 - host_overhead) / len(calls)
         best = min(best, dt)
     return best
 
