@@ -36,14 +36,20 @@ def main():
     parser.add_argument("--no-occupancy", action="store_true",
                         help="disable occupancy-driven ray termination "
                         "(the flagship preset default is ON)")
-    parser.add_argument("--warmup-steps", type=int, default=1000,
-                        help="un-timed training steps before measuring. "
-                        "The surface needs ~1000 steps to sharpen enough "
-                        "for occupancy termination to collapse the "
-                        "per-ray crossing depth (measured: mean 179 -> "
-                        "33 crossings) and the periodic bound retune to "
-                        "shrink the static march shape — the state a "
-                        "real 300k-step run spends >99% of its time in.")
+    parser.add_argument("--warmup-steps", type=int, default=2600,
+                        help="CAP on un-timed training steps before "
+                        "measuring. Warmup exits early once the "
+                        "occupancy-retuned traversal bound stabilizes "
+                        "(unchanged across 3 consecutive retunes). The "
+                        "EMA density keeps sharpening well after the "
+                        "loss converges — on the bench scene the "
+                        "crossing depth collapses (mean 179 -> 33) "
+                        "between steps ~1100 and ~1400 — and a real "
+                        "300k-step run spends >99% of its time in that "
+                        "collapsed state.")
+    parser.add_argument("--min-warmup", type=int, default=512,
+                        help="minimum warmup steps before the "
+                        "bound-stability early exit may fire")
     args = parser.parse_args()
 
     import jax
@@ -96,17 +102,42 @@ def main():
     # finishes, and the final loss depends on the full chained state.
     m = trainer.train_step(batches[0])
     float(m["loss"])
+    # Warm until the occupancy-retuned bound stabilizes (train_step
+    # retunes every cfg.occupancy_retune_every steps on its own): the
+    # timed loop must measure the state a long run spends >99% of its
+    # time in, not whatever bound the warmup cap happened to land on.
+    retune_every = config.model.occupancy_retune_every or 128
+    bound_history = []
+    warmed = 0
     for i in range(args.warmup_steps):
         m = trainer.train_step(make_batch())
+        warmed += 1
         if (i + 1) % 100 == 0:
-            float(m["loss"])
-    if args.warmup_steps:
+            print(
+                f"# warm {i + 1} loss={float(m['loss']):.4f} "
+                f"bound={trainer.tuned_max_steps}",
+                file=sys.stderr,
+            )
+        if (i + 1) % retune_every == 0:
+            bound_history.append(trainer.tuned_max_steps)
+            if (
+                not args.no_occupancy
+                and i + 1 >= args.min_warmup
+                and len(bound_history) >= 3
+                and bound_history[-1] is not None
+                and bound_history[-3] == bound_history[-2] == bound_history[-1]
+            ):
+                break
+    if warmed:
         print(
-            f"# warmed up {args.warmup_steps} steps "
+            f"# warmed up {warmed} steps "
             f"(loss={float(m['loss']):.4f}, "
             f"tuned bound={trainer.tuned_max_steps})",
             file=sys.stderr,
         )
+        # Compile the steady-state step shape before the timed loop.
+        m = trainer.train_step(batches[0])
+        float(m["loss"])
     t0 = time.perf_counter()
     for i in range(args.steps):
         m = trainer.train_step(batches[i % len(batches)])
