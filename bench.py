@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--no-occupancy", action="store_true",
                         help="disable occupancy-driven ray termination "
                         "(the flagship preset default is ON)")
+    parser.add_argument("--occ-threshold", type=float, default=None,
+                        help="override occupancy_threshold")
     parser.add_argument("--warmup-steps", type=int, default=2600,
                         help="CAP on un-timed training steps before "
                         "measuring. Warmup exits early once the "
@@ -83,6 +85,8 @@ def main():
     config.model.max_intersected_triangles = args.max_steps
     if args.no_occupancy:
         config.model.use_occupancy_field = False
+    if args.occ_threshold is not None:
+        config.model.occupancy_threshold = args.occ_threshold
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 

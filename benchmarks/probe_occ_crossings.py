@@ -90,18 +90,32 @@ def main():
             compact_stages=cfg.march_compaction,
         ).num_valid
 
-    for use_occ in (False, True):
-        fn = jax.jit(lambda mm, oo, dd, u=use_occ: probe(mm, oo, dd, u))
-        batches = []
-        for _ in range(4):
-            o, d = sample_sphere_rays(rng, args.rays)
-            batches.append(
-                (trainer.mesh_tables, jnp.asarray(o), jnp.asarray(d))
-            )
+    def probe_thr(mm, oo, dd, thr):
+        return march_features(
+            mm, None, oo, dd, tuned,
+            use_occupancy=True,
+            occ_threshold=thr,
+            compact_stages=cfg.march_compaction,
+        ).num_valid
+
+    batches = []
+    for _ in range(4):
+        o, d = sample_sphere_rays(rng, args.rays)
+        batches.append(
+            (trainer.mesh_tables, jnp.asarray(o), jnp.asarray(d))
+        )
+
+    cases = [("occ off", jax.jit(lambda mm, oo, dd: probe(mm, oo, dd, False)))]
+    for thr in (1e-2, 1e-3, 1e-4, 1e-5):
+        cases.append(
+            (f"thr {thr:g}",
+             jax.jit(lambda mm, oo, dd, t=thr: probe_thr(mm, oo, dd, t)))
+        )
+    for name, fn in cases:
         ms = benchmark(fn, batches) * 1e3
         nv = np.concatenate([np.asarray(fn(*b)) for b in batches])
         print(
-            f"march occ={use_occ!s:5s} (bound {tuned}): {ms:6.2f} ms  "
+            f"march {name:9s} (bound {tuned}): {ms:6.2f} ms  "
             f"crossings p50={np.percentile(nv, 50):.0f} "
             f"p90={np.percentile(nv, 90):.0f} "
             f"p99={np.percentile(nv, 99):.0f} max={nv.max()}"

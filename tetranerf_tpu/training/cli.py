@@ -77,6 +77,12 @@ def main(argv=None):
                         help="maintain the per-cell occupancy EMA and use "
                         "it for ray termination + traversal-bound "
                         "retuning (steady-state throughput)")
+    parser.add_argument("--no-occupancy", action="store_true",
+                        help="disable the occupancy field (the flagship "
+                        "tetra-nerf preset defaults it ON)")
+    parser.add_argument("--skip-grid", type=int, default=None,
+                        help="empty-space skip grid resolution G "
+                        "(requires occupancy; 0 disables)")
     parser.add_argument("--viewer-port", type=int, default=None,
                         help="serve the interactive orbit viewer on this "
                         "port DURING training (frames render against the "
@@ -115,6 +121,10 @@ def main(argv=None):
             setattr(config.model, field, v)
     if args.occupancy:
         config.model.use_occupancy_field = True
+    if args.no_occupancy:
+        config.model.use_occupancy_field = False
+    if args.skip_grid is not None:
+        config.model.skip_grid_resolution = args.skip_grid
 
     print(f"loading dataset from {args.data} ...", file=sys.stderr)
     kwargs = {"downscale": args.downscale} if args.downscale != 1 else {}

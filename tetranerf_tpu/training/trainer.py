@@ -304,7 +304,7 @@ class Trainer:
     def _occupancy_update_fn(self):
         """Jitted EMA update of the per-cell DENSITY estimate from the
         current field: a coarse inference pass evaluates per-sample
-        density, the per-interval max density is reduced gather-free,
+        density, the per-interval MEAN density is reduced gather-free,
         and cells take ``max(decay * occ, sigma)`` — the role the
         reference built ``scatter_ema_uint32`` for
         (``src/tetrahedra_tracer.cu:55-113``) but never wired in.
@@ -318,7 +318,19 @@ class Trainer:
         optical depth that diverges at an opaque surface, so rays
         genuinely terminate there while grazing rays (tiny chords)
         correctly keep marching (measured on the bench scene: mean
-        crossings 173.6 -> ~entry-shell depth)."""
+        crossings 173.6 -> ~entry-shell depth).
+
+        The per-interval reduction is the MEAN sample density, not the
+        max: the march consumes the estimate as ``sigma * chord``, i.e.
+        as the chord-average density, and a max-of-samples estimate
+        overstates the true optical depth at a sharp surface (density
+        ramps from ~0 to huge across the crossing; its peak is ~2-5x
+        its chord mean). Measured on the bench scene, the max estimator
+        terminated rays while their TRUE transmittance was still
+        5-10%, visibly corrupting supervision: train loss rose from
+        0.0003 (termination off) to 0.018-0.020 as the surface
+        sharpened. A mean estimate keeps estimated depth ~= true depth,
+        so crossing the threshold means the light really is gone."""
         if self._occ_update is not None:
             return self._occ_update
         from ..ops.fused import (
@@ -364,13 +376,16 @@ class Trainer:
             k = max_t - jnp.sum(gt.astype(jnp.int32), axis=-1)
             slots = jnp.arange(max_t, dtype=jnp.int32)[None, None, :]
             onehot = slots == jnp.minimum(k, max_t - 1)[:, :, None]
-            sig_int = jnp.max(
-                jnp.where(
-                    onehot & smask[:, :, None], dens[:, :, None], 0.0
-                ),
-                axis=1,
-            )  # [R, T] per-interval max density (NOT the blend weight —
-            # see the docstring above for why weights cannot terminate).
+            in_int = onehot & smask[:, :, None]
+            sig_sum = jnp.sum(
+                jnp.where(in_int, dens[:, :, None], 0.0), axis=1
+            )
+            sig_cnt = jnp.sum(in_int, axis=1)
+            # [R, T] per-interval MEAN density (neither the blend weight
+            # nor the max — see the docstring above). Intervals with no
+            # samples stay 0: scatter-max of 0 is a no-op, so they
+            # simply contribute no observation.
+            sig_int = sig_sum / jnp.maximum(sig_cnt, 1)
             cells_flat = jnp.where(res.valid, res.cells, -1).reshape(-1)
             vals = jnp.where(cells_flat >= 0, sig_int.reshape(-1), 0.0)
             occ = occ * cfg.occupancy_decay
