@@ -42,7 +42,7 @@ class TetrahedraNerfConfig:
     occupancy_retune_percentile: float
     compute_dtype: str
     interp_mode: str
-    remat_mlps: bool
+    remat_mlps: Union[bool, Literal["auto"]]
     fused_mlps: bool
     ray_buckets: int
     bucket_short_steps: Optional[int]
@@ -79,7 +79,7 @@ class TetrahedraNerfConfig:
         occupancy_retune_percentile: float = ...,
         compute_dtype: str = ...,
         interp_mode: str = ...,
-        remat_mlps: bool = ...,
+        remat_mlps: Union[bool, Literal["auto"]] = ...,
         fused_mlps: bool = ...,
         ray_buckets: int = ...,
         bucket_short_steps: Optional[int] = ...,

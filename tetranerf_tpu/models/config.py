@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Literal, Optional
+from typing import Literal, Optional, Union
 
 
 @dataclasses.dataclass
@@ -52,7 +52,8 @@ class TetrahedraNerfConfig:
     ``src/tetrahedra_tracer.cu:55-113``)."""
     occupancy_update_every: int = 16
     """Train steps between ray-based occupancy EMA updates (per-interval
-    max sample density; use_occupancy_field); 0 disables."""
+    MEAN sample density — the chord-average the march consumes;
+    use_occupancy_field); 0 disables."""
     occupancy_refresh_every: int = 64
     """Train steps between full-coverage occupancy refreshes: the
     density MLP is evaluated at EVERY cell's centroid (exact barycentric
@@ -63,7 +64,7 @@ class TetrahedraNerfConfig:
     """Terminate a ray when its estimated transmittance
     ``exp(-sum sigma * dt)`` falls below this."""
     occupancy_decay: float = 0.95
-    """EMA decay for the per-cell max-density estimate."""
+    """EMA decay for the per-cell density estimate."""
     occupancy_retune_every: int = 256
     """Steps between occupancy-aware traversal-bound retunes (0 =
     never). Once the occupancy EMA is warm, rays terminate long before
@@ -110,10 +111,13 @@ class TetrahedraNerfConfig:
     rebuild); ``"pallas"`` builds it per-ray in VMEM (less HBM, but its
     backward reconstructs the one-hot — slower in training); ``"gather"``
     uses take-along-axis (slow on TPU, debugging only)."""
-    remat_mlps: bool = True
+    remat_mlps: Union[bool, Literal["auto"]] = "auto"
     """Recompute MLP activations in the backward pass instead of saving
     them — they are the step's largest residuals ([R, S, 128] each; an
-    OOM at 32K rays) while their recompute is nearly free."""
+    OOM at 32K rays) while their recompute is cheap (the MXU is mostly
+    idle). ``"auto"`` (default) remats only above 4M (ray, sample)
+    points per pass: below that the residuals fit comfortably and
+    skipping the recompute saves a measured ~5 ms/step at [8K, 257]."""
     fused_mlps: bool = False
     """Run the base/density/color MLP stack as one fully-fused Pallas
     kernel (weights resident in VMEM, activations never touch HBM —

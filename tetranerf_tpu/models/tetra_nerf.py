@@ -172,7 +172,17 @@ class TetraNerf:
             return self._field_mlps_fused(
                 params, field_values, directions, camera_indices, train
             )
-        if not self.config.remat_mlps:
+        remat = self.config.remat_mlps
+        if remat == "auto":
+            # Remat only when the saved activations would actually
+            # pressure HBM: under ~4M (ray, sample) points the residuals
+            # total <2.5 GB and skipping the recompute saves a measured
+            # ~5 ms/step at [8K, 257] (benchmarks/microbench_mlp_bwd.py);
+            # above it (e.g. 32K-ray batches) the residuals OOM first.
+            remat = (
+                field_values.shape[0] * field_values.shape[1] >= 4_000_000
+            )
+        if not remat:
             return self._field_mlps(
                 params, field_values, directions, camera_indices, train
             )
