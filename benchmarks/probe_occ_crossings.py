@@ -27,6 +27,7 @@ def main():
     p.add_argument("--points", type=int, default=100_000)
     p.add_argument("--rays", type=int, default=8192)
     p.add_argument("--warm-steps", type=int, default=400)
+    p.add_argument("--occ-threshold", type=float, default=None)
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -49,6 +50,8 @@ def main():
     config = tetranerf_preset()
     config.model.max_intersected_triangles = 256
     config.model.use_occupancy_field = True
+    if args.occ_threshold is not None:
+        config.model.occupancy_threshold = args.occ_threshold
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 

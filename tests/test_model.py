@@ -314,6 +314,47 @@ def test_occupancy_retune_shrinks_and_regrows_bound(scene):
     assert regrown > shrunk
 
 
+def test_transmittance_retune_shrinks_and_regrows_bound(scene):
+    """The transmittance retune sizes the bound from the model's OWN
+    optical depth: an opaque model (huge density-head bias) must shrink
+    it; a transparent model (hugely negative bias) must grow it back.
+    Unlike the march-estimate retune this must hold with a cold/absent
+    occupancy EMA — it reads real densities, not the EMA column."""
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(
+        max_intersected_triangles=96, use_occupancy_field=True,
+        occupancy_retune_every=0,  # driven manually below
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    trainer.train_step(batch)  # triggers the cold tune
+    cold = trainer.tuned_max_steps or 96
+
+    def with_density_bias(v):
+        p = jax.device_get(trainer.state.params)
+        p["field_output_density"]["bias"] = jnp.full_like(
+            jnp.asarray(p["field_output_density"]["bias"]), v
+        )
+        trainer.state = trainer.state.replace(
+            params=jax.device_put(p, trainer._params_sharding)
+        )
+
+    with_density_bias(200.0)  # opaque everywhere -> depth exhausts fast
+    shrunk = trainer.retune_with_transmittance(batch)
+    assert shrunk < cold
+    # Training still compiles and runs at the tight bound; truncated
+    # far tails are surfaced, never silent.
+    metrics = trainer.train_step(batch)
+    assert "overflow_rays" in metrics
+    with_density_bias(-200.0)  # transparent -> full-chord crossings
+    regrown = trainer.retune_with_transmittance(batch)
+    assert regrown > shrunk
+
+
 def test_overflow_metric_and_no_config_mutation(scene):
     """An adversarially tight step bound must (a) be reported via the
     overflow_rays metric instead of silently truncating, and (b) never be

@@ -1,5 +1,5 @@
 from pathlib import Path
-from typing import Any, Dict, Literal, NamedTuple, Optional
+from typing import Any, Dict, Literal, NamedTuple, Optional, Union
 
 import jax
 import numpy as np
@@ -39,6 +39,7 @@ class TetrahedraNerfConfig:
     occupancy_retune_every: int
     skip_grid_resolution: int
     skip_grid_eps: float
+    occupancy_retune_mode: Literal["transmittance", "march"]
     occupancy_retune_percentile: float
     compute_dtype: str
     interp_mode: str
@@ -76,6 +77,7 @@ class TetrahedraNerfConfig:
         occupancy_retune_every: int = ...,
         skip_grid_resolution: int = ...,
         skip_grid_eps: float = ...,
+        occupancy_retune_mode: Literal["transmittance", "march"] = ...,
         occupancy_retune_percentile: float = ...,
         compute_dtype: str = ...,
         interp_mode: str = ...,

@@ -90,6 +90,15 @@ class TetrahedraNerfConfig:
     skipping. A skipped span of length L forfeits at most ``eps * L``
     optical depth — keep it well under ``-log(1 -
     occupancy_threshold)/scene_size``."""
+    occupancy_retune_mode: Literal["transmittance", "march"] = "transmittance"
+    """How the periodic retune measures per-ray crossing needs.
+    ``"transmittance"`` (default) probes the model's OWN optical depth
+    at full sample resolution — the bound then truncates only content
+    behind an (estimated-density-independent) ``occupancy_threshold``
+    of remaining light, so sizing is quality-safe even when the EMA is
+    miscalibrated. ``"march"`` probes the EMA-terminated march itself
+    (crossings until the ESTIMATED depth exhausts), which couples bound
+    safety to EMA calibration."""
     occupancy_retune_percentile: float = 100.0
     """Crossing-count percentile the occupancy retune sizes the bound
     from. 100 = the batch max: no ray is ever truncated, but a tiny

@@ -63,6 +63,9 @@ class Trainer:
         auto_tune_steps: bool = ...,
     ) -> None: ...
     def tune_traversal_steps(self, batch: Batch) -> int: ...
+    def retune_with_occupancy(self, batch: Batch) -> int: ...
+    def retune_with_transmittance(self, batch: Batch) -> int: ...
+    def refresh_occupancy(self) -> None: ...
     def update_occupancy(self, batch: Batch) -> None: ...
     def train_step(self, batch: Batch) -> Metrics: ...
     def eval_batch(self, batch: Batch) -> Dict[str, jax.Array]: ...

@@ -71,6 +71,13 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             # never read, ``model.py:256-265``).
             use_occupancy_field=True,
             occupancy_retune_percentile=99.0,
+            # Termination margin: at 1e-3 the march's estimated depth
+            # terminates rays whose TRUE remaining transmittance is
+            # still visible (estimator variance) — measured train-loss
+            # drift 0.0003 -> 0.006-0.018 on the bench scene. 1e-4 is
+            # clean (loss 0.0001-0.0004) and costs only a few extra
+            # crossings at an opaque surface.
+            occupancy_threshold=1e-4,
             # Density estimation from both sides: the full-coverage
             # centroid refresh (every 64 steps, ~1ms/step amortized)
             # warms every cell at once; the ray-based per-interval

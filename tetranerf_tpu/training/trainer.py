@@ -523,6 +523,101 @@ class Trainer:
             skip_meta=jax.device_put(self._skip_setup.meta, self._rep),
         )
 
+    def _nv_eff_fn(self):
+        """Jitted probe: per-ray crossing count at which the CURRENT
+        model's own optical depth exhausts the light. Marches the FULL
+        config cap with no termination (one static shape — compiled
+        once, ever), samples exactly like the coarse pass, accumulates
+        ``sigma * delta`` from the real MLP densities, and counts the
+        crossings whose entry precedes the first sample where the
+        accumulated depth passes ``-log(occupancy_threshold)``."""
+        if getattr(self, "_nv_eff", None) is not None:
+            return self._nv_eff
+        from ..models.tetra_nerf import _interp_backend
+        from ..ops.fused import (
+            biased_warp_range,
+            march_features,
+            ray_bounds,
+            sample_features,
+        )
+        from ..ops.sampling import stratified_bins
+
+        model = self.model
+        cfg = model.config
+        cap = cfg.max_intersected_triangles
+        nsamp = cfg.num_samples
+        depth_cap = -float(np.log(cfg.occupancy_threshold))
+
+        def probe(params, origins, directions, mesh):
+            res = march_features(
+                mesh,
+                params["tetrahedra_field"],
+                origins,
+                directions,
+                cap,
+                hops=cfg.traversal_hops,
+            )
+            nears, fars, first, nk, mask = ray_bounds(res)
+            bins01 = stratified_bins(None, origins.shape[0], nsamp)
+            euclid = nears[:, None] + bins01 * (fars - nears)[:, None]
+            if cfg.use_biased_sampler:
+                euclid = biased_warp_range(
+                    res, first, nk, nears, fars, euclid
+                )
+            distances = (euclid[:, 1:] + euclid[:, :-1]) / 2.0
+            deltas = euclid[:, 1:] - euclid[:, :-1]
+            feats, smask = sample_features(
+                res,
+                distances,
+                mask,
+                use_matmul=_interp_backend(cfg.interp_mode),
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
+            _, dens = model._field_mlps(
+                params, feats, directions, None, False
+            )
+            dens = jnp.where(smask, dens, 0.0)
+            od = jnp.cumsum(dens * deltas, axis=1)
+            exhausted = od > depth_cap
+            d_star = jnp.min(
+                jnp.where(exhausted, distances, jnp.inf), axis=1
+            )
+            return jnp.sum(
+                res.valid & (res.t0 <= d_star[:, None]), axis=1
+            )
+
+        self._nv_eff = jax.jit(probe)
+        return self._nv_eff
+
+    def retune_with_transmittance(self, batch: Dict[str, np.ndarray]) -> int:
+        """Size the static traversal bound from the model's OWN optical
+        depth: per ray, count crossings up to the sample where the
+        render's accumulated depth passes ``-log(occupancy_threshold)``
+        — i.e. where the remaining transmittance (and with it everything
+        a far-tail truncation could remove from the pixel) drops below
+        the threshold. Unlike the march-estimate retune
+        (:meth:`retune_with_occupancy`) this does not depend on the
+        EMA's calibration: the probe IS the renderer's density at full
+        sample resolution, so a p-percentile bound truncates only
+        content the render provably cannot see. The march's EMA
+        termination stays as a per-ray early-exit for compaction; rays
+        it leaves deep are cut by this bound and counted in
+        ``overflow_rays``."""
+        cfg = self.model.config
+        fn = self._nv_eff_fn()
+        o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
+        d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
+        nv = np.asarray(fn(self.state.params, o, d, self.mesh_tables))
+        observed = int(np.percentile(nv, cfg.occupancy_retune_percentile))
+        cur = self.tuned_max_steps or cfg.max_intersected_triangles
+        bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
+        if bound < cur - 16 or bound > cur:
+            self.tuned_max_steps = bound
+            if self.tuned_short_steps is not None:
+                self.tuned_short_steps = min(self.tuned_short_steps, bound)
+            self._build_steps()
+        return self.tuned_max_steps or cfg.max_intersected_triangles
+
     def retune_with_occupancy(self, batch: Dict[str, np.ndarray]) -> int:
         """Re-probe max crossings WITH occupancy termination and rebuild
         the step at the tighter static bound.
@@ -607,7 +702,10 @@ class Trainer:
             and self._step_count > 0
             and self._step_count % cfg.occupancy_retune_every == 0
         ):
-            self.retune_with_occupancy(batch)
+            if cfg.occupancy_retune_mode == "transmittance":
+                self.retune_with_transmittance(batch)
+            else:
+                self.retune_with_occupancy(batch)
         self._step_count += 1
         from ..parallel.sharding import make_global_batch
 
