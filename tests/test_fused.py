@@ -149,6 +149,44 @@ def test_fused_feats_differentiable(ball_mesh, rng):
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+def test_grad_stream_budget_matches_dense(ball_mesh, rng):
+    """The compacted backward scatter (``grad_stream_budget``) is exact:
+    with a sufficient budget the field gradient equals the dense
+    scatter's bit for bit (dropped rows are all zero-bary padding)."""
+    o, d = _rays(rng, 16)
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 4)).astype(np.float32)
+    )
+
+    def loss(f, budget):
+        fused = march_features(
+            ball_mesh, f, o, d, max_steps=64, grad_stream_budget=budget
+        )
+        nears, fars, _, _, ray_mask = ray_bounds(fused)
+        dist = jnp.linspace(0.1, 0.9, 8)[None, :] * (fars - nears)[
+            :, None
+        ] + nears[:, None]
+        feats, mask = sample_features(fused, dist, ray_mask)
+        return jnp.sum(feats**2)
+
+    g_dense = jax.grad(loss)(field, None)
+    g_comp = jax.grad(loss)(field, 16 * 68)  # full budget: T+4 per ray
+    np.testing.assert_array_equal(np.asarray(g_dense), np.asarray(g_comp))
+    # Tight budget = exactly the batch's valid rows: still exact.
+    nv = np.asarray(
+        march_features(ball_mesh, None, o, d, max_steps=64).num_valid
+    )
+    needed = int(np.minimum(nv + 4, 68).sum())
+    assert needed < 16 * 68  # compaction is actually compacting
+    g_tight = jax.grad(loss)(field, needed)
+    np.testing.assert_array_equal(np.asarray(g_dense), np.asarray(g_tight))
+    # Starved budget: early rays keep their gradient, later rays drop
+    # theirs — never NaN, never corruption of kept rows.
+    g_tiny = jax.grad(loss)(field, 16 * 4)
+    assert np.isfinite(np.asarray(g_tiny)).all()
+    assert np.abs(np.asarray(g_tiny)).sum() > 0
+
+
 def test_biased_warp_range_matches_compacted(ball_mesh, rng):
     """The range-based warp over uncompacted intervals (with a dropped
     behind-origin prefix) must equal the reference-style warp over the

@@ -49,6 +49,7 @@ class TetrahedraNerfConfig:
     bucket_short_steps: Optional[int]
     traversal_hops: int
     march_compaction: int
+    grad_stream_budget_per_ray: Optional[int]
     far_plane: float
     depth_method: Literal["median", "expected"]
     def __init__(
@@ -87,6 +88,7 @@ class TetrahedraNerfConfig:
         bucket_short_steps: Optional[int] = ...,
         traversal_hops: int = ...,
         march_compaction: int = ...,
+        grad_stream_budget_per_ray: Optional[int] = ...,
         far_plane: float = ...,
         depth_method: str = ...,
     ) -> None: ...

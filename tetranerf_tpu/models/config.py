@@ -153,6 +153,18 @@ class TetrahedraNerfConfig:
     dense prefix and the march continues at half width. Bit-identical
     output; converts per-ray early termination (occupancy, short chords,
     missed rays) into wall-clock. 0 disables."""
+    grad_stream_budget_per_ray: Optional[int] = None
+    """Compact the backward field scatter to each ray's VALID stream
+    prefix, with a flat row budget of ``budget_per_ray * num_rays``
+    (None = dense). The dense transpose of the endpoint-feature gather
+    scatters R*(T+4) rows — mostly zero-valued padding, yet XLA pays
+    per row; it is the largest single op of the backward (~29 ms at
+    [8K, 260] into [100K, 64]). Valid rows per ray are ``num_valid+4``
+    (mean ~55 on the warm bench scene), so a budget of ~2x the mean
+    makes overflow statistically negligible (the batch SUM concentrates
+    at sigma/mean ~ 1/sqrt(R)); rays past the budget lose their field
+    gradient for that step and are counted in the
+    ``grad_stream_dropped_rays`` metric."""
     far_plane: float = 1e3
     """Depth reported for rays that hit nothing (reference uses the
     collider's far plane, ``model.py:645-650``)."""

@@ -505,6 +505,11 @@ class TetraNerf:
                 )
             )
         else:
+            grad_budget = (
+                cfg.grad_stream_budget_per_ray * num_rays
+                if train and cfg.grad_stream_budget_per_ray
+                else None
+            )
             res = march_features(
                 mesh,
                 params["tetrahedra_field"],
@@ -515,6 +520,7 @@ class TetraNerf:
                 use_occupancy=cfg.use_occupancy_field,
                 occ_threshold=cfg.occupancy_threshold,
                 compact_stages=cfg.march_compaction,
+                grad_stream_budget=grad_budget,
             )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 
@@ -595,13 +601,25 @@ class TetraNerf:
         rgb_out = jnp.where(ray_mask[:, None], rgb_out, background)
         acc = jnp.where(ray_mask, acc, 0.0)
         depth = jnp.where(ray_mask & (acc > 0), depth, cfg.far_plane)
-        return {
+        out = {
             "rgb": rgb_out,
             "accumulation": acc[:, None],
             "depth": depth[:, None],
             "ray_mask": ray_mask,
             "traversal_overflow": res.overflow,
         }
+        if cached_march is None and train and cfg.grad_stream_budget_per_ray:
+            if res.stream is not None:
+                counts = jnp.minimum(
+                    res.num_valid + 4, res.stream.vids.shape[1]
+                )
+                # Rays whose valid prefix ends beyond the budget lose
+                # (part of) their field gradient this step — surfaced,
+                # never silent (mirrors ``traversal_overflow``).
+                out["grad_stream_dropped"] = (
+                    jnp.cumsum(counts) > cfg.grad_stream_budget_per_ray * num_rays
+                )
+        return out
 
     # ------------------------------------------------------------------ loss
     def loss(self, outputs, batch) -> jnp.ndarray:

@@ -25,6 +25,7 @@ gather-minimal computation.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -122,6 +123,7 @@ def march_features(
     occ_threshold: float = 1e-3,
     compact_stages: int = 0,
     use_skip: bool = True,
+    grad_stream_budget: Optional[int] = None,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -519,7 +521,12 @@ def march_features(
             bary=all_bary,
         )
         if field is not None:
-            feats = endpoint_features(field, stream)
+            feats = endpoint_features(
+                field,
+                stream,
+                counts=num_valid + 4,
+                grad_budget=grad_stream_budget,
+            )
     return FusedMarch(
         cells=cells,
         t1=t1s,
@@ -533,7 +540,75 @@ def march_features(
     )
 
 
-def endpoint_features(field, stream: MarchStream):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _stream_gather(field, vids, counts, grad_budget: int):
+    """``field[vids]`` whose VJP scatters only the VALID-PREFIX rows.
+
+    The stream is ragged: ray ``r`` uses its first ``counts[r]`` slots,
+    the rest are zero-bary padding whose gradient rows are exactly zero
+    — yet XLA's scatter-add pays per ROW, so the dense transpose
+    scatters R*(T+4) rows (the largest single op of the backward,
+    ~29 ms at [8K, 260] into [100K, 64]). Here the backward packs each
+    ray's valid prefix into a flat [grad_budget] layout (offsets by
+    cumsum; slot->ray recovered with a 1-per-ray scatter + cumsum — no
+    per-slot searchsorted) and scatters only those rows. If a batch's
+    total valid rows exceed ``grad_budget``, the overshoot rays' field
+    gradient is dropped for that step — callers surface the condition
+    via the ``grad_stream_overflow`` metric (sized from the same
+    ``counts``) so it is visible, and the budget has ~2x headroom over
+    the sum's tight concentration (sigma/mean ~ 1/sqrt(R))."""
+    return field[jnp.maximum(vids, 0)]
+
+
+def _stream_gather_fwd(field, vids, counts, grad_budget):
+    return _stream_gather(field, vids, counts, grad_budget), (
+        vids,
+        counts,
+        field.shape[0],
+    )
+
+
+def _stream_gather_bwd(grad_budget, residuals, g):
+    vids, counts, num_vertices = residuals
+    num_rays, width = vids.shape
+    f = g.shape[-1]
+    counts = jnp.minimum(counts, width)
+    ends = jnp.cumsum(counts)
+    offs = ends - counts  # exclusive prefix sum
+    # slot j -> ray r: one scatter-increment per ray boundary, then a
+    # cumsum. Rays starting at/after the budget pile marks into the
+    # last slot; the (u < counts) guard below zeroes those slots.
+    j = jnp.arange(grad_budget, dtype=jnp.int32)
+    mark = jnp.zeros(grad_budget, jnp.int32)
+    mark = mark.at[jnp.minimum(offs, grad_budget - 1)].add(
+        jnp.where(counts > 0, 1, 0)
+    )
+    r_of_j = jnp.cumsum(mark) - 1
+    r_c = jnp.clip(r_of_j, 0, num_rays - 1)
+    u = j - offs[r_c]
+    ok = (r_of_j >= 0) & (u >= 0) & (u < counts[r_c])
+    src = jnp.where(ok, r_c * width + jnp.maximum(u, 0), 0)
+    rows = jnp.where(
+        ok[:, None], g.reshape(num_rays * width, f)[src], 0.0
+    )
+    scat_vids = jnp.where(
+        ok, jnp.maximum(vids.reshape(-1)[src], 0), 0
+    )
+    grad_field = (
+        jnp.zeros((num_vertices, f), g.dtype).at[scat_vids].add(rows)
+    )
+    return grad_field, None, None
+
+
+_stream_gather.defvjp(_stream_gather_fwd, _stream_gather_bwd)
+
+
+def endpoint_features(
+    field,
+    stream: MarchStream,
+    counts=None,
+    grad_budget: Optional[int] = None,
+):
     """Interval-endpoint features from a march's vertex stream.
 
     ONE feature row per unique (ray, vertex) — a 4x smaller gather than
@@ -541,8 +616,21 @@ def endpoint_features(field, stream: MarchStream):
     backward (the dominant cost of a train step on TPU). The only
     field-dependent piece of the traversal: re-run it against an updated
     field to re-shade a cached march (static-camera rendering during
-    training)."""
-    stream_field = field[jnp.maximum(stream.vids, 0)]  # [R, T+4, F]
+    training).
+
+    With ``counts`` (per-ray valid stream lengths, ``num_valid + 4``)
+    and ``grad_budget`` (static total row budget), the backward scatter
+    is compacted to the valid prefix rows only (see
+    :func:`_stream_gather`)."""
+    if grad_budget is not None and counts is not None:
+        stream_field = _stream_gather(
+            field,
+            stream.vids,
+            jax.lax.stop_gradient(counts),
+            int(grad_budget),
+        )
+    else:
+        stream_field = field[jnp.maximum(stream.vids, 0)]  # [R, T+4, F]
     return stream_blend(stream_field, stream.pos, stream.bary)
 
 

@@ -81,9 +81,14 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             # Density estimation from both sides: the full-coverage
             # centroid refresh (every 64 steps, ~1ms/step amortized)
             # warms every cell at once; the ray-based per-interval
-            # max-density EMA (every 16 steps) catches off-centroid
-            # density peaks the centroid probe underestimates.
+            # mean-density EMA (every 16 steps) tracks the chord-average
+            # density the march consumes.
             occupancy_retune_every=128,
+            # Backward-scatter compaction: valid stream rows per ray
+            # average ~55 warm (p50 crossings ~50 + 4); 128/ray keeps
+            # >2x headroom on the batch sum while scattering ~2x fewer
+            # rows than the dense [R, T+4] stream at the typical bound.
+            grad_stream_budget_per_ray=128,
         ),
     )
     return dataclasses.replace(cfg, **overrides)

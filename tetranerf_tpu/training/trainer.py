@@ -118,6 +118,10 @@ def make_train_step(
                 outputs["traversal_overflow"].astype(jnp.int32)
             ),
         }
+        if "grad_stream_dropped" in outputs:
+            metrics["grad_stream_dropped_rays"] = jnp.sum(
+                outputs["grad_stream_dropped"].astype(jnp.int32)
+            )
         return new_state, metrics
 
     return train_step
