@@ -137,11 +137,15 @@ class TetrahedraNerfConfig:
     tiny matmul chains is already HBM-efficient; kept for hardware
     where the balance differs."""
     ray_buckets: int = 1
-    """1 = march every ray to the batch-max bound; 2 = sort rays by
-    hull-chord length and march the short half with
-    ``bucket_short_steps`` (set per scene by the trainer's probe)."""
+    """1 = every [·, T]-shaped stage pads to the batch-max bound; 2 =
+    one geometry march, then rays sort by their TRUE crossing count and
+    the shallow half's downstream stages (endpoint features, the
+    [R, S, T] sample-interval matmuls, their backwards) run at the
+    tighter ``bucket_short_steps`` (set per scene by the trainer's
+    probes / transmittance retune)."""
     bucket_short_steps: Optional[int] = None
-    """Traversal bound for the short bucket (None = max_steps // 2)."""
+    """Interval bound for the shallow bucket (None = tuned by the
+    trainer, falling back to max_steps // 2)."""
     traversal_hops: int = 1
     """Cells advanced per sequential gather in the marcher (1 or 2; 2
     needs ``build_mesh(two_hop_table=True)``). Measured neutral on v5e —

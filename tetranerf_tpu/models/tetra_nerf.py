@@ -28,6 +28,7 @@ from ..geometry.mesh import TetrahedraMesh
 from ..ops.encoding import nerf_encoding, nerf_encoding_dim
 from ..ops.fused import (
     FusedMarch,
+    _slice_march,
     biased_warp_range,
     endpoint_features,
     march_features,
@@ -415,22 +416,45 @@ class TetraNerf:
         self, params, rays, rng, train, mesh, max_steps, short_steps,
         num_samples=None, num_fine_samples=None,
     ):
-        """Two-bucket traversal: rays sorted by hull-chord length; the
-        short half marches with a tighter step bound
-        (``bucket_short_steps``). Every ray otherwise pads to the batch's
-        longest traversal, so this trims ~25% of the length-proportional
-        work. Bounds are set per scene by ``Trainer.tune_traversal_steps``."""
-        from ..ops.traversal import hull_intersect
+        """Two-bucket shading keyed by each ray's TRUE crossing count.
 
+        One geometry march for the whole batch (per-ray compaction
+        already makes the march's cost track actual crossings); rays are
+        then sorted by ``num_valid`` and the shallow half's downstream
+        stages — endpoint features, blend, the [R, S, T]-shaped
+        sample-interval one-hot matmuls, and their backwards — run at
+        the tighter static bound ``bucket_short_steps``. Every
+        [·, T]-shaped tensor otherwise pads to the batch max, so this
+        trims the T-proportional work the static bound cannot (the
+        crossing tail pins it; docs/RESULTS.md round 3). Truncation by
+        the short bound (shallow-half rays deeper than ``t_short``)
+        is surfaced via ``traversal_overflow`` like any other bound."""
         cfg = self.config
         origins = jnp.asarray(rays.origins)
         directions = jnp.asarray(rays.directions)
         num_rays = origins.shape[0]
         half = num_rays // 2
-        t_in, t_out, _, hit = hull_intersect(mesh, origins, directions)
-        chord = jnp.where(hit, t_out - jnp.maximum(t_in, 0.0), 0.0)
-        order = jnp.argsort(chord)
+        res = march_features(
+            mesh,
+            None,  # geometry only; features are computed per bucket
+            origins,
+            directions,
+            max_steps,
+            hops=cfg.traversal_hops,
+            use_occupancy=cfg.use_occupancy_field,
+            occ_threshold=cfg.occupancy_threshold,
+            compact_stages=cfg.march_compaction,
+        )
+        if res.stream is None:
+            raise ValueError("ray_buckets=2 requires traversal_hops=1")
+        order = jnp.argsort(res.num_valid)
         inv_order = jnp.argsort(order)
+        t_short = short_steps or cfg.bucket_short_steps or max(
+            16, max_steps // 2
+        )
+        keys = (
+            jax.random.split(rng, 2) if rng is not None else (None, None)
+        )
 
         def sub_bundle(idx):
             cam = rays.camera_indices
@@ -440,26 +464,17 @@ class TetraNerf:
                 camera_indices=cam[idx] if cam is not None else None,
             )
 
-        t_short = short_steps or cfg.bucket_short_steps or max(
-            16, max_steps // 2
-        )
-        keys = (
-            jax.random.split(rng, 2) if rng is not None else (None, None)
-        )
-        out_a = self._forward(
-            params, sub_bundle(order[:half]), keys[0], train, mesh, t_short,
-            num_samples, num_fine_samples,
-        )
-        out_b = self._forward(
-            params,
-            sub_bundle(order[half:]),
-            keys[1],
-            train,
-            mesh,
-            max_steps,
-            num_samples,
-            num_fine_samples,
-        )
+        def bucket(idx, t, key):
+            # _forward's cached-march branch computes the bucket's
+            # endpoint features (with the per-bucket gradient budget).
+            return self._forward(
+                params, sub_bundle(idx), key, train, mesh, t,
+                num_samples, num_fine_samples,
+                cached_march=_slice_march(res, idx, t),
+            )
+
+        out_a = bucket(order[:half], t_short, keys[0])
+        out_b = bucket(order[half:], max_steps, keys[1])
         return {
             k: jnp.concatenate([out_a[k], out_b[k]], axis=0)[inv_order]
             for k in out_a
@@ -498,18 +513,21 @@ class TetraNerf:
         # reference re-runs find_visited_cells + interpolate per round,
         # ``model.py:560-600``). A cached march (same rays, earlier field)
         # is re-shaded against the current field instead.
+        grad_budget = (
+            cfg.grad_stream_budget_per_ray * num_rays
+            if train and cfg.grad_stream_budget_per_ray
+            else None
+        )
         if cached_march is not None:
             res = cached_march._replace(
                 feats=endpoint_features(
-                    params["tetrahedra_field"], cached_march.stream
+                    params["tetrahedra_field"],
+                    cached_march.stream,
+                    counts=cached_march.num_valid + 4,
+                    grad_budget=grad_budget,
                 )
             )
         else:
-            grad_budget = (
-                cfg.grad_stream_budget_per_ray * num_rays
-                if train and cfg.grad_stream_budget_per_ray
-                else None
-            )
             res = march_features(
                 mesh,
                 params["tetrahedra_field"],
@@ -608,17 +626,14 @@ class TetraNerf:
             "ray_mask": ray_mask,
             "traversal_overflow": res.overflow,
         }
-        if cached_march is None and train and cfg.grad_stream_budget_per_ray:
-            if res.stream is not None:
-                counts = jnp.minimum(
-                    res.num_valid + 4, res.stream.vids.shape[1]
-                )
-                # Rays whose valid prefix ends beyond the budget lose
-                # (part of) their field gradient this step — surfaced,
-                # never silent (mirrors ``traversal_overflow``).
-                out["grad_stream_dropped"] = (
-                    jnp.cumsum(counts) > cfg.grad_stream_budget_per_ray * num_rays
-                )
+        if grad_budget is not None and res.stream is not None:
+            counts = jnp.minimum(
+                res.num_valid + 4, res.stream.vids.shape[1]
+            )
+            # Rays whose valid prefix ends beyond the budget lose
+            # (part of) their field gradient this step — surfaced,
+            # never silent (mirrors ``traversal_overflow``).
+            out["grad_stream_dropped"] = jnp.cumsum(counts) > grad_budget
         return out
 
     # ------------------------------------------------------------------ loss

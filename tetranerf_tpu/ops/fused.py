@@ -634,6 +634,41 @@ def endpoint_features(
     return stream_blend(stream_field, stream.pos, stream.bary)
 
 
+def _slice_march(res: FusedMarch, idx, t: int) -> FusedMarch:
+    """Row-subset + interval-prefix view of a march (``feats`` dropped —
+    recompute per slice via :func:`endpoint_features`).
+
+    Slicing the interval axis to ``t`` keeps every stream position an
+    endpoint can reference (positions are bounded by ``4 + k`` at
+    endpoint ``k``), so a sliced stream is self-consistent. Rays with
+    more than ``t`` valid intervals lose their far tail; that truncation
+    is folded into ``overflow`` — reported, never silent."""
+    t = min(t, res.t1.shape[1])
+    s = res.stream
+    stream = (
+        MarchStream(
+            vids=s.vids[idx][:, : t + 4],
+            pos=s.pos[idx][:, : t + 1],
+            bary=s.bary[idx][:, : t + 1],
+        )
+        if s is not None
+        else None
+    )
+    valid = res.valid[idx][:, :t]
+    num_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    return FusedMarch(
+        cells=res.cells[idx][:, :t],
+        t1=res.t1[idx][:, :t],
+        t_entry=res.t_entry[idx],
+        valid=valid,
+        num_valid=num_valid,
+        feats=None,
+        hit=res.hit[idx],
+        overflow=res.overflow[idx] | (num_valid < res.num_valid[idx]),
+        stream=stream,
+    )
+
+
 def ray_bounds(res: FusedMarch, near: float = 0.0):
     """Per-ray ``(nears, fars, first_kept, num_kept, ray_mask)``.
 

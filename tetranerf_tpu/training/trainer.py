@@ -615,12 +615,36 @@ class Trainer:
         observed = int(np.percentile(nv, cfg.occupancy_retune_percentile))
         cur = self.tuned_max_steps or cfg.max_intersected_triangles
         bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
+        changed = False
         if bound < cur - 16 or bound > cur:
             self.tuned_max_steps = bound
-            if self.tuned_short_steps is not None:
-                self.tuned_short_steps = min(self.tuned_short_steps, bound)
+            changed = True
+        full = self.tuned_max_steps or cfg.max_intersected_triangles
+        if cfg.ray_buckets == 2 and cfg.bucket_short_steps is None:
+            # Short-bucket bound from the shallow half's own percentile
+            # (the post-march bucketing sorts by the same key).
+            lower = np.sort(nv)[: nv.size // 2]
+            short = min(
+                full,
+                _rounded_bound(
+                    int(
+                        np.percentile(
+                            lower, cfg.occupancy_retune_percentile
+                        )
+                    )
+                ),
+            )
+            if short != self.tuned_short_steps:
+                self.tuned_short_steps = short
+                changed = True
+        elif self.tuned_short_steps is not None:
+            clamped = min(self.tuned_short_steps, full)
+            if clamped != self.tuned_short_steps:
+                self.tuned_short_steps = clamped
+                changed = True
+        if changed:
             self._build_steps()
-        return self.tuned_max_steps or cfg.max_intersected_triangles
+        return full
 
     def retune_with_occupancy(self, batch: Dict[str, np.ndarray]) -> int:
         """Re-probe max crossings WITH occupancy termination and rebuild
