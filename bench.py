@@ -38,6 +38,13 @@ def main():
                         "(the flagship preset default is ON)")
     parser.add_argument("--occ-threshold", type=float, default=None,
                         help="override occupancy_threshold")
+    parser.add_argument("--ray-buckets", type=int, default=None,
+                        help="override config.ray_buckets")
+    parser.add_argument("--grad-budget", type=int, default=-1,
+                        help="grad_stream_budget_per_ray override "
+                        "(-1 = preset, 0 = dense)")
+    parser.add_argument("--remat", default=None,
+                        help="remat_mlps override: auto/true/false")
     parser.add_argument("--warmup-steps", type=int, default=2600,
                         help="CAP on un-timed training steps before "
                         "measuring. Warmup exits early once the "
@@ -87,6 +94,14 @@ def main():
         config.model.use_occupancy_field = False
     if args.occ_threshold is not None:
         config.model.occupancy_threshold = args.occ_threshold
+    if args.ray_buckets is not None:
+        config.model.ray_buckets = args.ray_buckets
+    if args.grad_budget >= 0:
+        config.model.grad_stream_budget_per_ray = args.grad_budget or None
+    if args.remat is not None:
+        config.model.remat_mlps = (
+            "auto" if args.remat == "auto" else args.remat == "true"
+        )
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 
@@ -124,12 +139,18 @@ def main():
             )
         if (i + 1) % retune_every == 0:
             bound_history.append(trainer.tuned_max_steps)
-            if (
-                not args.no_occupancy
-                and i + 1 >= args.min_warmup
-                and len(bound_history) >= 3
-                and bound_history[-1] is not None
-                and bound_history[-3] == bound_history[-2] == bound_history[-1]
+            stable = lambda n: (
+                len(bound_history) >= n
+                and len(set(bound_history[-n:])) == 1
+            )
+            # A retuned (non-None) bound that holds 3 retunes is steady.
+            # A bound pinned at the cap (None) is also a steady state —
+            # but only trust it once the EMA has genuinely sharpened
+            # (the crossings collapse late; see --warmup-steps help).
+            if not args.no_occupancy and (
+                (i + 1 >= args.min_warmup
+                 and bound_history[-1] is not None and stable(3))
+                or (i + 1 >= 1536 and stable(6))
             ):
                 break
     if warmed:

@@ -84,11 +84,12 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             # mean-density EMA (every 16 steps) tracks the chord-average
             # density the march consumes.
             occupancy_retune_every=128,
-            # Backward-scatter compaction: valid stream rows per ray
-            # average ~55 warm (p50 crossings ~50 + 4); 128/ray keeps
-            # >2x headroom on the batch sum while scattering ~2x fewer
-            # rows than the dense [R, T+4] stream at the typical bound.
-            grad_stream_budget_per_ray=128,
+            # grad_stream_budget_per_ray stays None: the compacted
+            # backward scatter replaces a 2.1M-row scatter with a
+            # 1M-row gather + 1M-row scatter, and on v5e the gather is
+            # just as row-rate-bound — measured 158.9 vs 137.0 ms/step
+            # dense at 8K rays (the op remains available for hardware
+            # with a faster gather path).
         ),
     )
     return dataclasses.replace(cfg, **overrides)

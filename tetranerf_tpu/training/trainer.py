@@ -985,11 +985,18 @@ class Trainer:
                     steps_done, dt = 1, time.perf_counter() - t_start
                 rate = steps_done * rays_per_batch / max(dt, 1e-9)
                 ovf = int(metrics.get("overflow_rays", 0))
+                gsd = int(metrics.get("grad_stream_dropped_rays", 0))
                 log_fn(
                     f"step {i + 1}/{num_iterations} "
                     f"loss={metrics['loss']:.5f} psnr={metrics['psnr']:.2f} "
                     f"rays/s={rate:,.0f}"
                     + (f" OVERFLOW={ovf} rays truncated" if ovf else "")
+                    + (
+                        f" GRAD-DROPPED={gsd} rays (raise "
+                        "grad_stream_budget_per_ray)"
+                        if gsd
+                        else ""
+                    )
                 )
             if (
                 self.config.output_dir
