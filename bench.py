@@ -6,11 +6,10 @@ COLMAP reconstruction. Prints ONE JSON line; ``vs_baseline`` is measured
 against the 2M rays/sec/chip north-star target (BASELINE.md — the
 reference publishes no numeric throughput).
 
-The default measures the flagship *steady state*: the occupancy EMA is
-warmed for ``--warmup-steps`` real training steps (long enough for the
-surface to form and the occupancy-aware bound retune at step 256 to
-fire), exactly as a real 300k-step run spends >99.9% of its time. Pass
-``--warmup-steps 0 --no-occupancy`` for the cold number.
+The default measures the flagship *steady state*: real training steps
+warm the occupancy EMA until the (transmittance-sized) traversal bounds
+stabilize — the state a real 300k-step run spends >99.9% of its time
+in. Pass ``--warmup-steps 0 --no-occupancy`` for the cold number.
 
 Usage: python bench.py [--points N] [--rays N] [--steps N]
 """
@@ -138,18 +137,20 @@ def main():
                 file=sys.stderr,
             )
         if (i + 1) % retune_every == 0:
-            bound_history.append(trainer.tuned_max_steps)
+            bound_history.append(
+                (trainer.tuned_max_steps, trainer.tuned_short_steps)
+            )
             stable = lambda n: (
                 len(bound_history) >= n
                 and len(set(bound_history[-n:])) == 1
             )
-            # A retuned (non-None) bound that holds 3 retunes is steady.
+            # Retuned (non-None) bounds that hold 3 retunes are steady.
             # A bound pinned at the cap (None) is also a steady state —
             # but only trust it once the EMA has genuinely sharpened
             # (the crossings collapse late; see --warmup-steps help).
             if not args.no_occupancy and (
                 (i + 1 >= args.min_warmup
-                 and bound_history[-1] is not None and stable(3))
+                 and bound_history[-1][0] is not None and stable(3))
                 or (i + 1 >= 1536 and stable(6))
             ):
                 break
@@ -157,7 +158,8 @@ def main():
         print(
             f"# warmed up {warmed} steps "
             f"(loss={float(m['loss']):.4f}, "
-            f"tuned bound={trainer.tuned_max_steps})",
+            f"tuned bound={trainer.tuned_max_steps}, "
+            f"short={trainer.tuned_short_steps})",
             file=sys.stderr,
         )
         # Compile the steady-state step shape before the timed loop.
