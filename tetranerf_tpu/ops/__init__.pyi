@@ -35,7 +35,10 @@ class FusedMarch(NamedTuple):
     def t0(self) -> jax.Array: ...
 
 def endpoint_features(
-    field: ArrayLike, stream: MarchStream
+    field: ArrayLike,
+    stream: MarchStream,
+    counts: Optional[ArrayLike] = ...,
+    grad_budget: Optional[int] = ...,
 ) -> jax.Array: ...
 
 # ------------------------------------------------------------- traversal
@@ -74,6 +77,7 @@ def march_features(
     occ_threshold: float = ...,
     compact_stages: int = ...,
     use_skip: bool = ...,
+    grad_stream_budget: Optional[int] = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...
