@@ -103,7 +103,7 @@ def main():
         for i in range(0, n, args.chunk):
             o = jnp.asarray(origins[i : i + args.chunk])
             d = jnp.asarray(dirs[i : i + args.chunk])
-            outs.append(fn(trainer.state.params, o, d, trainer.mesh_tables))
+            outs.append(fn(trainer.state.params, o, d, trainer.mesh_tables, trainer._occ_cap_dev))
         return {"rgb": outs[-1]["rgb"]}
 
     timed("device: full render (128+128)",

@@ -355,6 +355,45 @@ def test_transmittance_retune_shrinks_and_regrows_bound(scene):
     assert regrown > shrunk
 
 
+def test_termination_cap_calibrates_to_estimator_bias(scene):
+    """The transmittance retune recalibrates the march-termination depth
+    cap against the model's true optical depth: a wildly OVERestimating
+    EMA (column 24 = 1000x anything real) must push the cap far above
+    the -log(threshold) floor, so the march never terminates rays whose
+    true light remains; a zero EMA keeps the cap at the floor."""
+    import dataclasses as dc
+
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(
+        max_intersected_triangles=96, use_occupancy_field=True,
+        occupancy_retune_every=0,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    trainer.train_step(batch)
+    floor = -np.log(config.model.occupancy_threshold)
+
+    def with_occ(v):
+        trainer.mesh_tables = dc.replace(
+            trainer.mesh_tables,
+            march_table=jnp.asarray(trainer.mesh_tables.march_table)
+            .at[:, 24]
+            .set(v),
+        )
+
+    with_occ(0.0)
+    trainer.retune_with_transmittance(batch)
+    assert trainer.tuned_short_steps is None or True  # cap is the assert
+    np.testing.assert_allclose(trainer._occ_cap, floor)
+    with_occ(1000.0)
+    trainer.retune_with_transmittance(batch)
+    assert trainer._occ_cap > 10 * floor
+
+
 def test_overflow_metric_and_no_config_mutation(scene):
     """An adversarially tight step bound must (a) be reported via the
     overflow_rays metric instead of silently truncating, and (b) never be

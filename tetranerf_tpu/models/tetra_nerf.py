@@ -381,6 +381,7 @@ class TetraNerf:
         num_samples: Optional[int] = None,
         num_fine_samples: Optional[int] = None,
         cached_march: Optional["FusedMarch"] = None,
+        occ_depth_cap=None,
     ) -> Dict[str, jnp.ndarray]:
         """Forward pass. Pass ``mesh`` explicitly inside jitted functions:
         a closed-over mesh becomes an HLO constant, embedding hundreds of
@@ -402,19 +403,22 @@ class TetraNerf:
         mesh = mesh if mesh is not None else self.mesh
         cfg = self.config
         max_steps = max_steps or cfg.max_intersected_triangles
-        if cfg.ray_buckets == 2 and cached_march is None:
+        if cfg.ray_buckets == 2 and (
+            cached_march is None or cached_march.stream is not None
+        ):
             return self._get_outputs_bucketed(
                 params, rays, rng, train, mesh, max_steps, short_steps,
-                num_samples, num_fine_samples,
+                num_samples, num_fine_samples, cached_march, occ_depth_cap,
             )
         return self._forward(
             params, rays, rng, train, mesh, max_steps,
-            num_samples, num_fine_samples, cached_march,
+            num_samples, num_fine_samples, cached_march, occ_depth_cap,
         )
 
     def _get_outputs_bucketed(
         self, params, rays, rng, train, mesh, max_steps, short_steps,
-        num_samples=None, num_fine_samples=None,
+        num_samples=None, num_fine_samples=None, cached_march=None,
+        occ_depth_cap=None,
     ):
         """Two-bucket shading keyed by each ray's TRUE crossing count.
 
@@ -434,17 +438,22 @@ class TetraNerf:
         directions = jnp.asarray(rays.directions)
         num_rays = origins.shape[0]
         half = num_rays // 2
-        res = march_features(
-            mesh,
-            None,  # geometry only; features are computed per bucket
-            origins,
-            directions,
-            max_steps,
-            hops=cfg.traversal_hops,
-            use_occupancy=cfg.use_occupancy_field,
-            occ_threshold=cfg.occupancy_threshold,
-            compact_stages=cfg.march_compaction,
-        )
+        if cached_march is not None:
+            res = cached_march
+            max_steps = res.t1.shape[1]
+        else:
+            res = march_features(
+                mesh,
+                None,  # geometry only; features are computed per bucket
+                origins,
+                directions,
+                max_steps,
+                hops=cfg.traversal_hops,
+                use_occupancy=cfg.use_occupancy_field,
+                occ_threshold=cfg.occupancy_threshold,
+                compact_stages=cfg.march_compaction,
+                occ_depth_cap=occ_depth_cap,
+            )
         if res.stream is None:
             raise ValueError("ray_buckets=2 requires traversal_hops=1")
         order = jnp.argsort(res.num_valid)
@@ -471,7 +480,7 @@ class TetraNerf:
                 params, sub_bundle(idx), key, train, mesh, t,
                 num_samples, num_fine_samples,
                 cached_march=_slice_march(res, idx, t),
-            )
+            )  # cap already applied in the shared march above
 
         out_a = bucket(order[:half], t_short, keys[0])
         out_b = bucket(order[half:], max_steps, keys[1])
@@ -491,6 +500,7 @@ class TetraNerf:
         num_samples: Optional[int] = None,
         num_fine_samples: Optional[int] = None,
         cached_march: Optional[FusedMarch] = None,
+        occ_depth_cap=None,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         n_coarse = num_samples if num_samples is not None else cfg.num_samples
@@ -539,6 +549,7 @@ class TetraNerf:
                 occ_threshold=cfg.occupancy_threshold,
                 compact_stages=cfg.march_compaction,
                 grad_stream_budget=grad_budget,
+                occ_depth_cap=occ_depth_cap,
             )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 

@@ -124,6 +124,7 @@ def march_features(
     compact_stages: int = 0,
     use_skip: bool = True,
     grad_stream_budget: Optional[int] = None,
+    occ_depth_cap=None,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -324,7 +325,16 @@ def march_features(
     else:
         table = mesh.march_table
 
-        depth_cap = -float(np.log(occ_threshold)) if use_occupancy else 0.0
+        # ``occ_depth_cap`` may be a TRACED scalar (the trainer
+        # re-calibrates it against the model's true optical depth every
+        # retune — see ``Trainer.retune_with_transmittance`` — and a
+        # traced cap changes without recompiling the step).
+        if not use_occupancy:
+            depth_cap = 0.0
+        elif occ_depth_cap is not None:
+            depth_cap = occ_depth_cap
+        else:
+            depth_cap = -float(np.log(occ_threshold))
 
         def step(carry, i):
             consts, state = carry

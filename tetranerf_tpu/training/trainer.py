@@ -85,7 +85,9 @@ def make_train_step(
     being dropped and the bound is too tight.
     """
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng, mesh):
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng, mesh, occ_cap
+    ):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -97,6 +99,7 @@ def make_train_step(
             outputs = model.get_outputs(
                 params, rays, rng=rng, train=True, mesh=mesh,
                 max_steps=max_steps, short_steps=short_steps,
+                occ_depth_cap=occ_cap,
             )
             loss = jnp.mean(jnp.square(outputs["rgb"] - batch["rgb"]))
             return loss, outputs
@@ -132,7 +135,7 @@ def make_eval_step(
     max_steps: Optional[int] = None,
     short_steps: Optional[int] = None,
 ) -> Callable:
-    def eval_step(params, batch, mesh):
+    def eval_step(params, batch, mesh, occ_cap):
         rays = RayBundle(
             origins=batch["origins"],
             directions=batch["directions"],
@@ -141,6 +144,7 @@ def make_eval_step(
         return model.get_outputs(
             params, rays, rng=None, train=False, mesh=mesh,
             max_steps=max_steps, short_steps=short_steps,
+            occ_depth_cap=occ_cap,
         )
 
     return eval_step
@@ -224,6 +228,19 @@ class Trainer:
         self._occ = None
         self._occ_update = None
         self._step_count = 0
+        # Termination depth cap, CALIBRATED against the model's true
+        # optical depth at every transmittance retune (the EMA's
+        # overestimation grows as the surface sharpens — a fixed
+        # -log(threshold) cap eventually terminates rays while real
+        # light remains; measured eval PSNR 30.9 -> 7.9 by 10k steps).
+        # Passed to the jitted steps as a TRACED scalar: recalibration
+        # never recompiles.
+        self._occ_cap = float(
+            -np.log(self.model.config.occupancy_threshold)
+        )
+        self._occ_cap_dev = jax.device_put(
+            jnp.float32(self._occ_cap), rep
+        )
 
     def _build_steps(self):
         """(Re)build the jitted train/eval steps with the current tuned
@@ -239,7 +256,7 @@ class Trainer:
                 self.tuned_max_steps,
                 self.tuned_short_steps,
             ),
-            in_shardings=(self._state_sharding, bsh, rep, rep),
+            in_shardings=(self._state_sharding, bsh, rep, rep, rep),
             out_shardings=(self._state_sharding, rep),
             donate_argnums=(0,),
         )
@@ -247,7 +264,7 @@ class Trainer:
             make_eval_step(
                 self.model, self.tuned_max_steps, self.tuned_short_steps
             ),
-            in_shardings=(self._params_sharding, bsh, rep),
+            in_shardings=(self._params_sharding, bsh, rep, rep),
             out_shardings=bsh,
         )
 
@@ -350,7 +367,7 @@ class Trainer:
         max_steps = self.tuned_max_steps or cfg.max_intersected_triangles
         nsamp = cfg.num_samples
 
-        def update(params, occ, origins, directions, mesh):
+        def update(params, occ, origins, directions, mesh, occ_cap):
             res = march_features(
                 mesh,
                 params["tetrahedra_field"],
@@ -358,7 +375,7 @@ class Trainer:
                 directions,
                 max_steps,
                 use_occupancy=True,
-                occ_threshold=cfg.occupancy_threshold,
+                occ_depth_cap=occ_cap,
             )
             nears, fars, first, nk, mask = ray_bounds(res)
             bins01 = stratified_bins(None, origins.shape[0], nsamp)
@@ -442,7 +459,8 @@ class Trainer:
             self._batch_sharding,
         )
         self._occ = self._occupancy_update_fn()(
-            self.state.params, self._occ, o, d, self.mesh_tables
+            self.state.params, self._occ, o, d, self.mesh_tables,
+            self._occ_cap_dev,
         )
         self._write_occ_column()
 
@@ -599,9 +617,24 @@ class Trainer:
             d_star = jnp.min(
                 jnp.where(exhausted, distances, jnp.inf), axis=1
             )
-            return jnp.sum(
+            nv_eff = jnp.sum(
                 res.valid & (res.t0 <= d_star[:, None]), axis=1
             )
+            # ESTIMATED (EMA) optical depth accumulated up to the true
+            # exhaustion point — what the march's early-exit would have
+            # seen there. Rays that never exhaust keep their full-chord
+            # estimated depth: the cap must exceed it or they would be
+            # cut while light remains.
+            sig_est = mesh.march_table[:, 24][
+                jnp.maximum(res.cells, 0)
+            ]  # [R, T]
+            dt = jnp.where(res.valid, res.t1 - res.t0, 0.0)
+            est_cum = jnp.cumsum(sig_est * dt, axis=1)
+            within = res.valid & (res.t1 <= d_star[:, None])
+            est_at = jnp.max(
+                jnp.where(within, est_cum, 0.0), axis=1
+            )
+            return nv_eff, est_at
 
         self._nv_eff = jax.jit(probe)
         return self._nv_eff
@@ -624,7 +657,24 @@ class Trainer:
         fn = self._nv_eff_fn()
         o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
         d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
-        nv = np.asarray(fn(self.state.params, o, d, self.mesh_tables))
+        nv, est_at = fn(self.state.params, o, d, self.mesh_tables)
+        nv = np.asarray(nv)
+        # Calibrate the march-termination depth cap so the estimated
+        # depth crosses it only BEHIND the true exhaustion point for
+        # (at least) 99.9% of rays. The EMA's overestimation factor
+        # grows as the surface sharpens; a fixed -log(threshold) cap
+        # eventually terminates rays with real light remaining
+        # (measured: eval PSNR 30.9 -> 7.9 by 10k steps on the
+        # multi-view run). The cap is a traced scalar — updating it
+        # never recompiles.
+        est_at = np.asarray(est_at)
+        floor = float(-np.log(cfg.occupancy_threshold))
+        self._occ_cap = max(
+            floor, 1.1 * float(np.percentile(est_at, 99.9))
+        )
+        self._occ_cap_dev = jax.device_put(
+            jnp.float32(self._occ_cap), self._rep
+        )
         observed = int(np.percentile(nv, cfg.occupancy_retune_percentile))
         cur = self.tuned_max_steps or cfg.max_intersected_triangles
         bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
@@ -682,18 +732,18 @@ class Trainer:
         if fn is None:
             from ..ops.fused import march_features
 
-            def probe(m, o, d):
+            def probe(m, o, d, occ_cap):
                 return march_features(
                     m, None, o, d, cur,
                     use_occupancy=True,
-                    occ_threshold=cfg.occupancy_threshold,
+                    occ_depth_cap=occ_cap,
                 ).num_valid
 
             fn = jax.jit(probe)
             self._fast_eval_fns[key] = fn
         o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
         d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
-        nv = np.asarray(fn(self.mesh_tables, o, d))
+        nv = np.asarray(fn(self.mesh_tables, o, d, self._occ_cap_dev))
         # Percentile sizing: the batch max is dominated by the rare rays
         # that miss all occupied geometry and march their full hull
         # chord; sizing for (say) p99 keeps every [R, T]-shaped stage at
@@ -752,7 +802,8 @@ class Trainer:
 
         batch = make_global_batch(batch, self.device_mesh)
         self.state, metrics = self._train_step(
-            self.state, batch, self.train_key, self.mesh_tables
+            self.state, batch, self.train_key, self.mesh_tables,
+            self._occ_cap_dev,
         )
         self._pending.append(metrics["loss"])
         if len(self._pending) > self._max_in_flight:
@@ -765,7 +816,9 @@ class Trainer:
             for k, v in batch.items()
             if k in ("origins", "directions", "camera_indices")
         }
-        return self._eval_step(self.state.params, batch, self.mesh_tables)
+        return self._eval_step(
+            self.state.params, batch, self.mesh_tables, self._occ_cap_dev
+        )
 
     def _fast_eval_fn(self, num_samples, num_fine_samples):
         """Jitted eval step with a sample-budget override (render-speed
@@ -775,7 +828,7 @@ class Trainer:
         if fn is None:
             model = self.model
 
-            def eval_fn(params, o, d, mesh):
+            def eval_fn(params, o, d, mesh, occ_cap):
                 return model.get_outputs(
                     params,
                     RayBundle(origins=o, directions=d),
@@ -786,6 +839,7 @@ class Trainer:
                     short_steps=self.tuned_short_steps,
                     num_samples=num_samples,
                     num_fine_samples=num_fine_samples,
+                    occ_depth_cap=occ_cap,
                 )
 
             fn = jax.jit(eval_fn)
@@ -838,7 +892,7 @@ class Trainer:
             fn = self._fast_eval_fn(num_samples, num_fine_samples)
             run = lambda o, d, _: fn(
                 self.state.params, jnp.asarray(o), jnp.asarray(d),
-                self.mesh_tables,
+                self.mesh_tables, self._occ_cap_dev,
             )
         return self._chunked(origins, directions, chunk, run)
 
@@ -904,6 +958,7 @@ class Trainer:
                     rng=None,
                     train=False,
                     mesh=mesh,
+                    short_steps=self.tuned_short_steps,
                     num_samples=num_samples,
                     num_fine_samples=num_fine_samples,
                     cached_march=cached,
