@@ -707,6 +707,16 @@ class Trainer:
                 changed = True
         if changed:
             self._build_steps()
+        import sys
+
+        print(
+            f"# retune@{self._step_count}: bound={self.tuned_max_steps} "
+            f"short={self.tuned_short_steps} "
+            f"occ_cap={self._occ_cap:.1f} (floor {floor:.1f}) "
+            f"nv p50/p99={int(np.percentile(nv, 50))}/"
+            f"{int(np.percentile(nv, 99))}",
+            file=sys.stderr,
+        )
         return full
 
     def retune_with_occupancy(self, batch: Dict[str, np.ndarray]) -> int:
