@@ -18,10 +18,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+# Graceful-timeout guard: external harnesses bound this script with
+# `timeout N`. SIGTERM mid-warmup would otherwise drop the measurement
+# entirely — instead the warmup loop checks this flag and falls through
+# to the timed loop with whatever warm state exists (reported in the
+# stderr preamble so a cut-short warmup is never mistaken for the full
+# steady state).
+_TERMINATED = False
+
+
+def _on_term(signum, frame):
+    global _TERMINATED
+    _TERMINATED = True
 
 
 def main():
@@ -59,6 +73,8 @@ def main():
                         help="minimum warmup steps before the "
                         "bound-stability early exit may fire")
     args = parser.parse_args()
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     import jax
 
@@ -128,6 +144,13 @@ def main():
     bound_history = []
     warmed = 0
     for i in range(args.warmup_steps):
+        if _TERMINATED:
+            print(
+                f"# SIGTERM at warmup step {i}: measuring the "
+                "partially-warm state instead of dropping the run",
+                file=sys.stderr,
+            )
+            break
         m = trainer.train_step(make_batch())
         warmed += 1
         if (i + 1) % 100 == 0:

@@ -85,18 +85,27 @@ def main():
 
     # Monkeypatch-free device-side variants: call the underlying jitted
     # fns directly per chunk and keep device arrays.
-    def run_device(num_samples=None, num_fine=None, cache=None):
+    def run_device(num_samples=None, num_fine=None, cache=None,
+                   adaptive=False):
         if cache is not None:
-            key_fn = trainer._fast_eval_fns.get(("cached", num_samples, num_fine))
-            outs = [
-                trainer._fast_eval_fns[("cached", num_samples, num_fine)](
-                    trainer.state.params, c, o, d, trainer.mesh_tables
-                )
-                for c, o, d in cache["chunks"]
-            ] if key_fn else None
-            if outs is None:
-                trainer.render_cached(cache, num_samples, num_fine)  # compile
-                return run_device(num_samples, num_fine, cache)
+            bounds = cache.get("bounds")
+            full_b = max(bounds) if bounds else None
+            outs = []
+            for ci, (c, o, d) in enumerate(cache["chunks"]):
+                ns, nf = num_samples, num_fine
+                t_c = bounds[ci] if bounds else None
+                if adaptive and t_c is not None:
+                    from tetranerf_tpu.training.trainer import _grid_ceil
+                    cfgm = trainer.model.config
+                    base_ns = ns if ns is not None else cfgm.num_samples
+                    base_nf = nf if nf is not None else cfgm.num_fine_samples
+                    frac = t_c / max(full_b, 1)
+                    ns = min(base_ns, _grid_ceil(max(16, base_ns * frac)))
+                    nf = (min(base_nf, _grid_ceil(max(16, base_nf * frac)))
+                          if base_nf else base_nf)
+                fn = trainer._cached_render_fn(ns, nf, t_c)
+                outs.append(fn(trainer.state.params, c, o, d,
+                               trainer.mesh_tables))
             return {"rgb": outs[-1]["rgb"]}
         fn = trainer._fast_eval_fn(num_samples, num_fine)
         outs = []
@@ -117,6 +126,23 @@ def main():
           lambda: run_device(None, None, cache))
     timed("device: cached re-render (64 coarse)",
           lambda: run_device(64, 0, cache))
+
+    t0 = time.perf_counter()
+    scache = trainer.cache_camera(origins, dirs, chunk=args.chunk,
+                                  sort_by_depth=True)
+    print(f"# cache_camera(sort_by_depth): {time.perf_counter() - t0:.2f} s "
+          f"bounds={scache['bounds']}", flush=True)
+    timed("device: sorted cached re-render (128+128)",
+          lambda: run_device(None, None, scache))
+    timed("device: sorted+adaptive re-render",
+          lambda: run_device(None, None, scache, adaptive=True))
+
+    # Quality check: adaptive refine vs the dense full render.
+    dense = trainer.render_cached(cache)
+    adap = trainer.render_cached(scache, adaptive_samples=True)
+    mse = float(np.mean((dense["rgb"] - adap["rgb"]) ** 2))
+    print(f"# adaptive-vs-dense PSNR: {-10 * np.log10(max(mse, 1e-12)):.2f} dB",
+          flush=True)
 
     # End-to-end including the host fetch (tunnel-bandwidth-bound here).
     timed("host e2e: cached fast render",

@@ -451,6 +451,38 @@ def test_cached_camera_render_matches_uncached(scene):
     assert np.abs(after["rgb"] - cached["rgb"]).max() > 1e-5  # actually moved
 
 
+def test_depth_sorted_cache_and_adaptive_budget(scene):
+    """The depth-sorted cache (viewer refine path) must reproduce the
+    dense cached render exactly when the sample budget is dense (the
+    permutation is inverted; per-chunk bounds cover each chunk's
+    observed max), and stay visually equivalent with the adaptive
+    per-chunk budget (per-crossing sample density >= the dense one)."""
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config()
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 96)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    for _ in range(2):  # non-trivial field so the render has content
+        trainer.train_step(batch)
+
+    dense = trainer.render_cached(trainer.cache_camera(o, d, chunk=32))
+    scache = trainer.cache_camera(o, d, chunk=32, sort_by_depth=True)
+    assert len(scache["bounds"]) == 3 and "perm" in scache
+    sorted_dense = trainer.render_cached(scache)
+    for k in ("rgb", "depth", "accumulation"):
+        np.testing.assert_allclose(
+            sorted_dense[k], dense[k], atol=1e-5, err_msg=k
+        )
+
+    adaptive = trainer.render_cached(scache, adaptive_samples=True)
+    assert adaptive["rgb"].shape == dense["rgb"].shape
+    mse = float(np.mean((adaptive["rgb"] - dense["rgb"]) ** 2))
+    assert mse < 1e-3  # > 30 dB against the dense refine
+
+
 def test_fast_render_sample_override(scene):
     mesh, colors = scene
     config = tetranerf_preset()

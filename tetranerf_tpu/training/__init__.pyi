@@ -78,13 +78,18 @@ class Trainer:
         num_fine_samples: Optional[int] = ...,
     ) -> Dict[str, np.ndarray]: ...
     def cache_camera(
-        self, origins: np.ndarray, directions: np.ndarray, chunk: int = ...
+        self,
+        origins: np.ndarray,
+        directions: np.ndarray,
+        chunk: int = ...,
+        sort_by_depth: bool = ...,
     ) -> Dict[str, Any]: ...
     def render_cached(
         self,
         cache: Dict[str, Any],
         num_samples: Optional[int] = ...,
         num_fine_samples: Optional[int] = ...,
+        adaptive_samples: bool = ...,
     ) -> Dict[str, np.ndarray]: ...
     def save_checkpoint(self, path: str) -> None: ...
     def restore_checkpoint(self, path: str) -> None: ...

@@ -52,11 +52,16 @@ def _rounded_bound(crossings) -> int:
     shape — a full XLA recompile of the train step (~minutes on slow
     hosts) — so retunes must land on few, stable values that the
     persistent compile cache can reuse across runs."""
-    need = max(16.0, float(crossings) * 1.5)
+    return _grid_ceil(max(16.0, float(crossings) * 1.5))
+
+
+def _grid_ceil(n) -> int:
+    """Smallest ``_BOUND_GRID`` value >= n (shared by bound retuning and
+    the depth-sorted render cache so static shapes stay deduplicated)."""
     for g in _BOUND_GRID:
-        if g >= need:
+        if g >= n:
             return g
-    return int(np.ceil(need / 256)) * 256
+    return int(np.ceil(n / 256)) * 256
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -906,57 +911,119 @@ class Trainer:
             )
         return self._chunked(origins, directions, chunk, run)
 
-    def _marcher_fn(self):
-        """Jitted geometry-only marcher, compiled once per tuned bound
-        (jit caches by function identity — a fresh lambda per
-        cache_camera call would re-trace for every viewer tile)."""
+    def _marcher_fn(self, max_steps: Optional[int] = None):
+        """Jitted geometry-only marcher, compiled once per bound (jit
+        caches by function identity — a fresh lambda per cache_camera
+        call would re-trace for every viewer tile). Marches with the
+        SAME termination config as the eval forward (occupancy +
+        compaction + depth cap) so a cached march reproduces
+        ``render_rays`` and inherits the warm state's short rays."""
         cfg = self.model.config
-        max_steps = self.tuned_max_steps or cfg.max_intersected_triangles
+        max_steps = (
+            max_steps or self.tuned_max_steps or cfg.max_intersected_triangles
+        )
         key = ("marcher", max_steps)
         fn = self._fast_eval_fns.get(key)
         if fn is None:
             from ..ops.fused import march_features
 
-            fn = jax.jit(
-                lambda m, o, d: march_features(m, None, o, d, max_steps)
-            )
+            def marcher(m, o, d, occ_cap):
+                return march_features(
+                    m, None, o, d, max_steps,
+                    hops=cfg.traversal_hops,
+                    use_occupancy=cfg.use_occupancy_field,
+                    occ_threshold=cfg.occupancy_threshold,
+                    compact_stages=cfg.march_compaction,
+                    occ_depth_cap=occ_cap,
+                )
+
+            fn = jax.jit(marcher)
             self._fast_eval_fns[key] = fn
         return fn
 
     # ------------------------------------------------- static-camera cache
-    def cache_camera(self, origins, directions, chunk: int = 8192):
+    def cache_camera(
+        self,
+        origins,
+        directions,
+        chunk: int = 8192,
+        sort_by_depth: bool = False,
+    ):
         """March a camera's rays ONCE and keep the per-chunk traversal
         (intervals + vertex stream) on device. Re-render the same camera
         against the training field with :meth:`render_cached` — the march
         (the dominant render cost) is skipped entirely. The viewer
-        equivalent of the reference's per-frame OptiX launch."""
-        marcher = self._marcher_fn()
-        chunks = []
-        num = len(origins)
-        for i in range(0, num, chunk):
-            o = np.asarray(origins[i : i + chunk], np.float32)
-            d = np.asarray(directions[i : i + chunk], np.float32)
-            pad = chunk - len(o)
-            if pad:
-                o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
-                d = np.concatenate(
-                    [d, np.tile(np.float32([0, 0, 1]), (pad, 1))]
-                )
-            chunks.append(
-                (marcher(self.mesh_tables, jnp.asarray(o), jnp.asarray(d)),
-                 jnp.asarray(o), jnp.asarray(d))
-            )
-        return {"chunks": chunks, "chunk": chunk, "num_rays": num}
+        equivalent of the reference's per-frame OptiX launch.
 
-    def render_cached(
+        ``sort_by_depth`` marches twice: the first pass learns every
+        ray's TRUE crossing count, then rays are re-chunked in depth
+        order and each chunk re-marched at its own rounded bound. Every
+        [R, T]- and [R, S, T]-shaped shading stage of the refine then
+        pays the chunk's real depth instead of the camera max — with a
+        warm occupancy field most chunks are an order of magnitude
+        shallower than the tail chunk. Outputs are identical (the
+        permutation is inverted on fetch; per-chunk bounds cover each
+        chunk's observed max)."""
+        origins = np.asarray(origins, np.float32)
+        directions = np.asarray(directions, np.float32)
+        num = len(origins)
+
+        def march_chunks(o_all, d_all, bounds=None):
+            chunks = []
+            for ci, i in enumerate(range(0, num, chunk)):
+                o = o_all[i : i + chunk]
+                d = d_all[i : i + chunk]
+                pad = chunk - len(o)
+                if pad:
+                    o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+                    d = np.concatenate(
+                        [d, np.tile(np.float32([0, 0, 1]), (pad, 1))]
+                    )
+                marcher = self._marcher_fn(bounds[ci] if bounds else None)
+                chunks.append(
+                    (marcher(self.mesh_tables, jnp.asarray(o),
+                             jnp.asarray(d), self._occ_cap_dev),
+                     jnp.asarray(o), jnp.asarray(d))
+                )
+            return chunks
+
+        chunks = march_chunks(origins, directions)
+        if not sort_by_depth:
+            return {"chunks": chunks, "chunk": chunk, "num_rays": num}
+
+        nv = np.concatenate(
+            [
+                np.asarray(m.num_valid)[: min(chunk, num - ci * chunk)]
+                for ci, (m, _, _) in enumerate(chunks)
+            ]
+        )
+        perm = np.argsort(nv, kind="stable")
+        full = self.tuned_max_steps or self.model.config.max_intersected_triangles
+        bounds = [
+            min(full, _grid_ceil(max(int(nv[perm[i : i + chunk]].max()), 16)))
+            for i in range(0, num, chunk)
+        ]
+        chunks = march_chunks(origins[perm], directions[perm], bounds)
+        return {
+            "chunks": chunks,
+            "chunk": chunk,
+            "num_rays": num,
+            "perm": perm,
+            "bounds": bounds,
+        }
+
+    def _cached_render_fn(
         self,
-        cache,
-        num_samples: Optional[int] = None,
-        num_fine_samples: Optional[int] = None,
+        num_samples: Optional[int],
+        num_fine_samples: Optional[int],
+        short_steps: Optional[int] = None,
     ):
-        """Render a camera cached by :meth:`cache_camera` with the
-        CURRENT parameters (no re-march)."""
-        key = ("cached", num_samples, num_fine_samples)
+        """Jitted cached-march re-shade, compiled once per (sample
+        budget, bound) combination. ``short_steps`` pins BOTH shading
+        buckets to the chunk's own bound (a depth-sorted chunk is
+        already depth-homogeneous; the intra-chunk short bucket would
+        truncate instead of save)."""
+        key = ("cached", num_samples, num_fine_samples, short_steps)
         fn = self._fast_eval_fns.get(key)
         if fn is None:
             model = self.model
@@ -968,7 +1035,7 @@ class Trainer:
                     rng=None,
                     train=False,
                     mesh=mesh,
-                    short_steps=self.tuned_short_steps,
+                    short_steps=short_steps or self.tuned_short_steps,
                     num_samples=num_samples,
                     num_fine_samples=num_fine_samples,
                     cached_march=cached,
@@ -976,13 +1043,47 @@ class Trainer:
 
             fn = jax.jit(eval_fn)
             self._fast_eval_fns[key] = fn
+        return fn
+
+    def render_cached(
+        self,
+        cache,
+        num_samples: Optional[int] = None,
+        num_fine_samples: Optional[int] = None,
+        adaptive_samples: bool = False,
+    ):
+        """Render a camera cached by :meth:`cache_camera` with the
+        CURRENT parameters (no re-march).
+
+        ``adaptive_samples`` (depth-sorted caches only) scales each
+        chunk's sample budget with its depth bound so the per-crossing
+        sample density never drops below the full budget's — shallow
+        chunks stop paying S=257 MLP+interp rounds for a handful of
+        crossed cells. Budgets land on the same coarse grid as bounds
+        to bound the compile count."""
+        cfg = self.model.config
+        bounds = cache.get("bounds") if isinstance(cache, dict) else None
+        full = max(bounds) if bounds else None
+        pending = []
+        for ci, (cached, o, d) in enumerate(cache["chunks"]):
+            t_c = bounds[ci] if bounds else None
+            ns, nf = num_samples, num_fine_samples
+            if adaptive_samples and t_c is not None:
+                base_ns = ns if ns is not None else cfg.num_samples
+                base_nf = nf if nf is not None else cfg.num_fine_samples
+                frac = t_c / max(full, 1)
+                ns = min(base_ns, _grid_ceil(max(16, base_ns * frac)))
+                nf = (
+                    min(base_nf, _grid_ceil(max(16, base_nf * frac)))
+                    if base_nf
+                    else base_nf
+                )
+            fn = self._cached_render_fn(ns, nf, t_c)
+            pending.append(
+                fn(self.state.params, cached, o, d, self.mesh_tables)
+            )
         chunk = cache["chunk"]
         num = cache["num_rays"]
-        # Dispatch every chunk before fetching (see _chunked).
-        pending = [
-            fn(self.state.params, cached, o, d, self.mesh_tables)
-            for cached, o, d in cache["chunks"]
-        ]
         outs = [
             {
                 k: np.asarray(v)[: min(chunk, num - i * chunk)]
@@ -990,9 +1091,15 @@ class Trainer:
             }
             for i, out in enumerate(pending)
         ]
-        return {
+        out = {
             k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }
+        perm = cache.get("perm") if isinstance(cache, dict) else None
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            out = {k: v[inv] for k, v in out.items()}
+        return out
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self, path: str):

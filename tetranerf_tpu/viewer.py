@@ -265,11 +265,17 @@ class ViewerServer:
             )
             cache = self._caches.get(key)
             if cache is None:
-                cache = self.trainer.cache_camera(o, d, chunk=self.chunk)
+                # Depth-sorted cache: each chunk re-shades at its own
+                # depth bound + proportional sample budget — the refine
+                # pays the scene's real depth profile, not the camera
+                # max (sub-frame refine latency; docs/RESULTS.md r3).
+                cache = self.trainer.cache_camera(
+                    o, d, chunk=self.chunk, sort_by_depth=True
+                )
                 while len(self._caches) >= self._max_caches:
                     self._caches.pop(next(iter(self._caches)))
                 self._caches[key] = cache
-            return self.trainer.render_cached(cache)
+            return self.trainer.render_cached(cache, adaptive_samples=True)
         return self.trainer.render_rays(
             o,
             d,
