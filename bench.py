@@ -41,6 +41,13 @@ def _on_term(signum, frame):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--points", type=int, default=100_000)
+    parser.add_argument("--scene", default="sphere",
+                        choices=["sphere", "camera"],
+                        help="'sphere' = hull-filling shell (crossing-"
+                        "tail stress); 'camera' = small objects + "
+                        "sparse far background points (the reference's "
+                        "COLMAP operating point: mostly-empty hull, "
+                        "where skip/termination must pay)")
     parser.add_argument("--rays", type=int, default=8192)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--max-steps", type=int, default=256,
@@ -53,6 +60,11 @@ def main():
                         help="override occupancy_threshold")
     parser.add_argument("--ray-buckets", type=int, default=None,
                         help="override config.ray_buckets")
+    parser.add_argument("--bucket-adaptive", default=None,
+                        choices=["true", "false"],
+                        help="override config.bucket_adaptive_samples")
+    parser.add_argument("--skip-grid", type=int, default=None,
+                        help="override config.skip_grid_resolution")
     parser.add_argument("--grad-budget", type=int, default=-1,
                         help="grad_stream_budget_per_ray override "
                         "(-1 = preset, 0 = dense)")
@@ -74,8 +86,6 @@ def main():
                         "bound-stability early exit may fire")
     args = parser.parse_args()
 
-    signal.signal(signal.SIGTERM, _on_term)
-
     import jax
 
     # Persistent compile cache: bound retunes recompile the step at a
@@ -86,14 +96,19 @@ def main():
     from tetranerf_tpu.geometry import build_mesh
     from tetranerf_tpu.models import TetraNerf
     from tetranerf_tpu.training import Trainer, tetranerf_preset
-    from tetranerf_tpu.utils import (
-        make_sphere_scene,
-        sample_sphere_rays,
-        sphere_ray_targets,
-    )
+    from tetranerf_tpu import utils as synth
+
+    if args.scene == "camera":
+        make_scene = synth.make_camera_scene
+        sample_rays = synth.sample_camera_rays
+        ray_targets = synth.camera_ray_targets
+    else:
+        make_scene = synth.make_sphere_scene
+        sample_rays = synth.sample_sphere_rays
+        ray_targets = synth.sphere_ray_targets
 
     t0 = time.perf_counter()
-    points, colors = make_sphere_scene(args.points, seed=0)
+    points, colors = make_scene(args.points, seed=0)
     mesh = build_mesh(points, two_hop_table=False)
     print(
         f"# mesh: {mesh.num_vertices} vertices, {mesh.num_cells} cells "
@@ -111,6 +126,10 @@ def main():
         config.model.occupancy_threshold = args.occ_threshold
     if args.ray_buckets is not None:
         config.model.ray_buckets = args.ray_buckets
+    if args.bucket_adaptive is not None:
+        config.model.bucket_adaptive_samples = args.bucket_adaptive == "true"
+    if args.skip_grid is not None:
+        config.model.skip_grid_resolution = args.skip_grid
     if args.grad_budget >= 0:
         config.model.grad_stream_budget_per_ray = args.grad_budget or None
     if args.remat is not None:
@@ -123,11 +142,11 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_batch():
-        o, d = sample_sphere_rays(rng, args.rays)
+        o, d = sample_rays(rng, args.rays)
         return {
             "origins": o,
             "directions": d,
-            "rgb": sphere_ray_targets(o, d),
+            "rgb": ray_targets(o, d),
         }
 
     batches = [make_batch() for _ in range(4)]
@@ -143,6 +162,12 @@ def main():
     retune_every = config.model.occupancy_retune_every or 128
     bound_history = []
     warmed = 0
+    # The graceful-SIGTERM window covers ONLY the loops that check the
+    # flag. During mesh build / the long XLA compiles the default
+    # handler stays installed so `timeout N python bench.py` still
+    # terminates promptly (a swallowed SIGTERM there would hang the
+    # harness until SIGKILL).
+    signal.signal(signal.SIGTERM, _on_term)
     for i in range(args.warmup_steps):
         if _TERMINATED:
             print(
@@ -161,7 +186,7 @@ def main():
             )
         if (i + 1) % retune_every == 0:
             bound_history.append(
-                (trainer.tuned_max_steps, trainer.tuned_short_steps)
+                (trainer.tuned_max_steps, trainer.tuned_bucket_steps)
             )
             stable = lambda n: (
                 len(bound_history) >= n
@@ -171,9 +196,16 @@ def main():
             # A bound pinned at the cap (None) is also a steady state —
             # but only trust it once the EMA has genuinely sharpened
             # (the crossings collapse late; see --warmup-steps help).
+            # A retuned main bound OR retuned bucket bounds that hold 3
+            # retunes mark the steady state (on scenes whose crossing
+            # tail pins the main bound at the cap, the bucket bounds
+            # are the signal that the EMA has sharpened).
+            retuned = (
+                bound_history[-1][0] is not None
+                or bound_history[-1][1] is not None
+            )
             if not args.no_occupancy and (
-                (i + 1 >= args.min_warmup
-                 and bound_history[-1][0] is not None and stable(3))
+                (i + 1 >= args.min_warmup and retuned and stable(3))
                 or (i + 1 >= 1536 and stable(6))
             ):
                 break
@@ -182,6 +214,7 @@ def main():
             f"# warmed up {warmed} steps "
             f"(loss={float(m['loss']):.4f}, "
             f"tuned bound={trainer.tuned_max_steps}, "
+            f"buckets={trainer.tuned_bucket_steps}, "
             f"short={trainer.tuned_short_steps})",
             file=sys.stderr,
         )
@@ -189,15 +222,25 @@ def main():
         m = trainer.train_step(batches[0])
         float(m["loss"])
     t0 = time.perf_counter()
+    done_steps = 0
     for i in range(args.steps):
+        if _TERMINATED and done_steps:
+            print(
+                f"# SIGTERM in timed loop: reporting {done_steps} steps",
+                file=sys.stderr,
+            )
+            break
         m = trainer.train_step(batches[i % len(batches)])
+        done_steps += 1
     float(m["loss"])
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
     dt = time.perf_counter() - t0
-    rays_per_sec = args.steps * args.rays / dt
+    rays_per_sec = done_steps * args.rays / dt
 
     print(
-        f"# {args.steps} steps x {args.rays} rays in {dt:.2f}s "
-        f"({dt / args.steps * 1e3:.1f} ms/step), loss={float(m['loss']):.4f}",
+        f"# {done_steps} steps x {args.rays} rays in {dt:.2f}s "
+        f"({dt / max(done_steps, 1) * 1e3:.1f} ms/step), "
+        f"loss={float(m['loss']):.4f}",
         file=sys.stderr,
     )
     print(

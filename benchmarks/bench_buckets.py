@@ -1,11 +1,12 @@
-"""Two-bucket traversal on REAL camera-ray distributions.
+"""K-bucket quantile traversal on REAL camera-ray distributions.
 
 Round-1 measured bucketing ~neutral on the synthetic random-shell rays
 (near-uniform hull chords). Camera rays from the multi-view dataset
 have the mixed near/far chord distribution bucketing targets. Requires
 a dataset from benchmarks/make_synthetic_dataset.py.
 
-Usage: python -u benchmarks/bench_buckets.py --data /tmp/sphere_ds
+Usage: python -u benchmarks/bench_buckets.py --data /tmp/sphere_ds \
+           [--buckets 1 2 4 8]
 """
 
 from __future__ import annotations
@@ -25,6 +26,9 @@ def main():
     p.add_argument("--data", required=True)
     p.add_argument("--rays", type=int, default=8192)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--adaptive", default="true", choices=["true", "false"],
+                   help="bucket_adaptive_samples")
     args = p.parse_args()
 
     from tetranerf_tpu.models import TetraNerf
@@ -39,10 +43,11 @@ def main():
     rng = np.random.default_rng(0)
     batches = [ds.sample_ray_batch(rng, args.rays) for _ in range(4)]
 
-    for buckets in (1, 2):
+    for buckets in args.buckets:
         config = tetranerf_preset()
         config.model.max_intersected_triangles = 512
         config.model.ray_buckets = buckets
+        config.model.bucket_adaptive_samples = args.adaptive == "true"
         model = TetraNerf(config.model, mesh, num_train_images=ds.num_images)
         trainer = Trainer(config, model, point_colors=colors)
         m = trainer.train_step(batches[0])
@@ -54,7 +59,8 @@ def main():
         dt = (time.perf_counter() - t0) / args.steps
         print(
             f"buckets={buckets} tuned={trainer.tuned_max_steps} "
-            f"short={trainer.tuned_short_steps} {dt * 1e3:7.1f} ms/step "
+            f"bucket_bounds={trainer.tuned_bucket_steps} "
+            f"{dt * 1e3:7.1f} ms/step "
             f"{args.rays / dt / 1e3:6.1f}K rays/s loss={loss:.5f}",
             flush=True,
         )

@@ -89,20 +89,14 @@ def main():
                    adaptive=False):
         if cache is not None:
             bounds = cache.get("bounds")
-            full_b = max(bounds) if bounds else None
             outs = []
             for ci, (c, o, d) in enumerate(cache["chunks"]):
                 ns, nf = num_samples, num_fine
                 t_c = bounds[ci] if bounds else None
                 if adaptive and t_c is not None:
-                    from tetranerf_tpu.training.trainer import _grid_ceil
-                    cfgm = trainer.model.config
-                    base_ns = ns if ns is not None else cfgm.num_samples
-                    base_nf = nf if nf is not None else cfgm.num_fine_samples
-                    frac = t_c / max(full_b, 1)
-                    ns = min(base_ns, _grid_ceil(max(16, base_ns * frac)))
-                    nf = (min(base_nf, _grid_ceil(max(16, base_nf * frac)))
-                          if base_nf else base_nf)
+                    # The trainer owns the budget policy — the bench must
+                    # measure exactly what the viewer ships.
+                    ns, nf = trainer.adaptive_budget(bounds, ci, ns, nf)
                 fn = trainer._cached_render_fn(ns, nf, t_c)
                 outs.append(fn(trainer.state.params, c, o, d,
                                trainer.mesh_tables))

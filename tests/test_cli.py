@@ -84,3 +84,71 @@ def test_train_cli_end_to_end(tiny_scene_dir, tmp_path):
     with open(render_dir / "metrics.json") as f:
         rm = json.load(f)
     assert np.isfinite(rm["psnr"]) and rm["render_rays_per_sec"] > 0
+
+
+def test_train_cli_config_flags(tiny_scene_dir, tmp_path):
+    """The named tuned-knob aliases AND the generic --model.* surface
+    reach the model config (the reference's --pipeline.model.* parity,
+    README.md:106-115); final metrics are tagged with the eval split."""
+    out_dir = tmp_path / "out2"
+    trainer = train_main(
+        [
+            "--data", str(tiny_scene_dir),
+            "--tetrahedra-path", str(tiny_scene_dir / "tetra.npz"),
+            "--output-dir", str(out_dir),
+            "--max-num-iterations", "4",
+            "--rays-per-batch", "64",
+            "--num-samples", "8",
+            "--num-fine-samples", "0",
+            "--max-intersected-triangles", "48",
+            "--field-dim", "8",
+            # named aliases
+            "--ray-buckets", "2",
+            "--occupancy-threshold", "0.001",
+            "--interp-mode", "matmul",
+            "--retune-percentile", "95",
+            # generic --model.* surface
+            "--model.hidden-size", "16",
+            "--model.occupancy-decay", "0.9",
+            "--model.bucket-adaptive-samples", "false",
+            "--model.depth-method", "expected",
+        ]
+    )
+    cfg = trainer.model.config
+    assert cfg.ray_buckets == 2
+    assert cfg.occupancy_threshold == 0.001
+    assert cfg.interp_mode == "matmul"
+    assert cfg.occupancy_retune_percentile == 95.0
+    assert cfg.hidden_size == 16
+    assert cfg.occupancy_decay == 0.9
+    assert cfg.bucket_adaptive_samples is False
+    assert cfg.depth_method == "expected"
+    with open(out_dir / "eval_metrics.json") as f:
+        metrics = json.load(f)
+    assert metrics["eval_split"] == "test"
+
+
+def test_train_cli_missing_test_split(tiny_scene_dir, tmp_path):
+    """A missing test split aborts unless --allow-eval-on-train, which
+    warns and tags the metrics eval_split='train'."""
+    (tiny_scene_dir / "transforms_test.json").unlink()
+    common = [
+        "--data", str(tiny_scene_dir),
+        "--tetrahedra-path", str(tiny_scene_dir / "tetra.npz"),
+        "--max-num-iterations", "2",
+        "--rays-per-batch", "64",
+        "--num-samples", "8",
+        "--num-fine-samples", "0",
+        "--max-intersected-triangles", "48",
+        "--field-dim", "8",
+    ]
+    with pytest.raises(SystemExit, match="allow-eval-on-train"):
+        train_main(common + ["--output-dir", str(tmp_path / "out3")])
+    out_dir = tmp_path / "out4"
+    train_main(
+        common
+        + ["--output-dir", str(out_dir), "--allow-eval-on-train"]
+    )
+    with open(out_dir / "eval_metrics.json") as f:
+        metrics = json.load(f)
+    assert metrics["eval_split"] == "train"

@@ -264,6 +264,113 @@ def test_ray_buckets_match_unbucketed(scene):
     assert np.isfinite(np.asarray(out3["rgb"])).all()
 
 
+def test_quantile_buckets_match_unbucketed(scene):
+    """K-bucket quantile shading must reproduce the unbucketed forward
+    exactly (eval mode) when each bucket's bound covers its rays' true
+    crossing counts and sample budgets are unscaled; with adaptive
+    budgets it must stay a faithful approximation (per-crossing sample
+    density >= the full budget's)."""
+    from tetranerf_tpu.ops.fused import march_features
+
+    mesh, colors = scene
+    base = _small_config(num_fine_samples=8)
+    model1 = TetraNerf(base, mesh)
+    params = model1.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    rng = np.random.default_rng(13)
+    o, d = sample_sphere_rays(rng, 64)
+    rays = RayBundle(jnp.asarray(o), jnp.asarray(d))
+    out1 = model1.get_outputs(params, rays)
+
+    # Inner bounds = each quantile chunk's true max crossing count: the
+    # bucketed path is exercised (bounds differ) but truncates nothing.
+    K = 4
+    nv = np.sort(
+        np.asarray(
+            march_features(
+                mesh, None, rays.origins, rays.directions,
+                base.max_intersected_triangles,
+            ).num_valid
+        )
+    )
+    inner = tuple(
+        max(int(nv[: len(nv) * (k + 1) // K].max()), 1) for k in range(K - 1)
+    )
+    assert inner[0] < base.max_intersected_triangles  # path exercised
+
+    cfg2 = _small_config(
+        num_fine_samples=8, ray_buckets=K, bucket_adaptive_samples=False
+    )
+    model2 = TetraNerf(cfg2, mesh)
+    out2 = model2.get_outputs(params, rays, bucket_steps=inner)
+    np.testing.assert_array_equal(
+        np.asarray(out1["ray_mask"]), np.asarray(out2["ray_mask"])
+    )
+    np.testing.assert_array_equal(  # covering bounds add no truncation
+        np.asarray(out1["traversal_overflow"]),
+        np.asarray(out2["traversal_overflow"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["rgb"]), np.asarray(out2["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["depth"]), np.asarray(out2["depth"]), atol=1e-4
+    )
+
+    # Adaptive budgets: not bit-identical (shallow buckets use fewer
+    # samples at >= the full per-crossing density) but must stay close.
+    cfg3 = _small_config(
+        num_fine_samples=8, ray_buckets=K, bucket_adaptive_samples=True
+    )
+    model3 = TetraNerf(cfg3, mesh)
+    out3 = model3.get_outputs(params, rays, bucket_steps=inner)
+    assert np.isfinite(np.asarray(out3["rgb"])).all()
+    np.testing.assert_array_equal(
+        np.asarray(out1["ray_mask"]), np.asarray(out3["ray_mask"])
+    )
+    mse = float(np.mean((np.asarray(out3["rgb"]) - np.asarray(out1["rgb"])) ** 2))
+    assert mse < 1e-3, mse
+
+    # Train mode with genuinely truncating inner bounds still runs and
+    # surfaces the truncation.
+    out4 = model3.get_outputs(
+        params, rays, rng=jax.random.PRNGKey(1), train=True,
+        bucket_steps=(4, 8, 16),
+    )
+    assert np.isfinite(np.asarray(out4["rgb"])).all()
+    assert int(np.asarray(out4["traversal_overflow"]).sum()) > 0
+
+
+def test_trainer_tunes_bucket_bounds(scene):
+    """The cold tune and the transmittance retune must produce ascending
+    per-bucket inner bounds clamped to the main bound."""
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(
+        max_intersected_triangles=96, use_occupancy_field=True,
+        occupancy_retune_every=0, ray_buckets=4,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 64)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    trainer.train_step(batch)  # cold tune
+    full = trainer.tuned_max_steps or 96
+    bs = trainer.tuned_bucket_steps
+    assert bs is not None and len(bs) == 3
+    assert all(b1 <= b2 for b1, b2 in zip(bs, bs[1:]))
+    assert all(16 <= b <= full for b in bs)
+    assert trainer.tuned_short_steps == bs[0]
+    trainer.retune_with_transmittance(batch)
+    bs2 = trainer.tuned_bucket_steps
+    full2 = trainer.tuned_max_steps or 96
+    assert all(b1 <= b2 for b1, b2 in zip(bs2, bs2[1:]))
+    assert all(16 <= b <= full2 for b in bs2)
+    # Training still runs with the tuned buckets.
+    metrics = trainer.train_step(batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_occupancy_retune_shrinks_and_regrows_bound(scene):
     """With a warm (opaque) occupancy field the retune probe must shrink
     the static traversal bound; if the occupancy later collapses (rays

@@ -107,6 +107,50 @@ def test_bad_shapes_rejected(trainer):
         adapter.get_outputs(torch.zeros(4, 3), torch.zeros(5, 3))
 
 
+def test_adapter_model_camera_ray_bundle(trainer):
+    """The nerfstudio-facing Model subclass drives
+    ``get_outputs_for_camera_ray_bundle``-style chunked calls through
+    the adapter (the ns-eval/viewer contract, reference
+    ``model.py:520-662``), reassembling image-shaped torch tensors that
+    match the native render exactly."""
+    import types
+
+    from tetranerf_tpu.nerfstudio_model import (
+        HAVE_NERFSTUDIO,
+        TetraNerfAdapterModel,
+    )
+
+    rng = np.random.default_rng(4)
+    o, d = sample_sphere_rays(rng, 96)
+    bundle = types.SimpleNamespace(
+        origins=torch.from_numpy(o.reshape(8, 12, 3)),
+        directions=torch.from_numpy(d.reshape(8, 12, 3)),
+    )
+    model = TetraNerfAdapterModel(trainer, chunk=40)  # forces 3 chunks
+    out = model.get_outputs_for_camera_ray_bundle(bundle)
+    assert out["rgb"].shape == (8, 12, 3)
+    assert out["depth"].shape == (8, 12, 1)
+    assert out["accumulation"].shape == (8, 12, 1)
+    native = trainer.render_rays(o, d, chunk=40)
+    np.testing.assert_allclose(
+        out["rgb"].numpy().reshape(-1, 3), native["rgb"],
+        rtol=1e-5, atol=1e-6,
+    )
+    # Single-chunk get_outputs keeps the bundle's leading shape too.
+    single = model.get_outputs(bundle)
+    np.testing.assert_allclose(
+        single["rgb"].numpy(), out["rgb"].numpy(), rtol=1e-5, atol=1e-6
+    )
+    # Render-only: torch training hooks refuse loudly.
+    assert model.get_param_groups() == {}
+    with pytest.raises(RuntimeError, match="render-only"):
+        model.get_loss_dict(None)
+    if HAVE_NERFSTUDIO:  # real inheritance where nerfstudio exists
+        from nerfstudio.models.base_model import Model
+
+        assert isinstance(model, Model)
+
+
 def test_ns_train_redirect_contract():
     """Without nerfstudio installed, the method entry points raise an
     ImportError carrying the native-CLI instructions — the documented

@@ -221,6 +221,46 @@ def test_find_visited_cells_matches_match_samples(ball_mesh, rng):
     )
 
 
+def test_march_on_cospherical_cloud(rng):
+    """EXACTLY cospherical points (all on the unit sphere): Qhull emits
+    genuinely zero-volume simplices. They must stay in the complex
+    (watertight adjacency; regularized plane tables forward rays with
+    ~zero chord) — no silent interior termination."""
+    pts = rng.standard_normal((400, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    mesh = build_mesh(pts)
+    # No interior boundary faces: every −1 face's centroid is on the hull
+    # (build_mesh would have raised otherwise; assert the premise too).
+    assert (np.asarray(mesh.neighbors) >= -1).all()
+    o, d = _random_outside_rays(rng, 48, radius=4.0, target_scale=0.2)
+    res = march(mesh, o, d, max_steps=384)
+    num = np.asarray(res.num_cells)
+    t_in, t_out, _, hit = hull_intersect(mesh, o, d)
+    assert np.asarray(hit).all()
+    assert (num > 0).all()
+    t1 = np.asarray(res.t1)
+    t_out = np.asarray(t_out)
+    covered = t1[np.arange(len(o)), np.maximum(num - 1, 0)]
+    ok = (np.abs(covered - t_out) < 3e-2) | (num >= 380)
+    assert ok.mean() > 0.95, (covered - t_out, num)
+
+
+def test_build_mesh_rejects_holed_complex(ball_points):
+    """Dropping an interior cell from a valid complex (the old
+    degenerate-filter failure mode) must fail loudly, not silently
+    terminate rays at the hole."""
+    from tetranerf_tpu.geometry.delaunay import triangulate
+
+    cells = triangulate(ball_points)
+    neighbors = np.asarray(build_mesh(ball_points, cells).neighbors)
+    # Pick a cell whose 4 faces are all interior (every neighbor >= 0).
+    interior = np.nonzero((neighbors >= 0).all(axis=1))[0]
+    assert len(interior) > 0
+    holed = np.delete(cells, interior[0], axis=0)
+    with pytest.raises(ValueError, match="watertight"):
+        build_mesh(ball_points, holed)
+
+
 def test_march_on_sliver_shell(shell_points, rng):
     """Surface-like cloud (thin shell + sparse interior): lots of sliver
     tetrahedra — the numerically nastiest case for a marcher. Rays must

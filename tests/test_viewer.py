@@ -139,6 +139,60 @@ def test_viewer_view_modes(server, mode):
     assert int(img[16, 16]) > int(img[0, 0])
 
 
+def test_viewer_cache_invalidated_on_occupancy_advance():
+    """With use_occupancy_field, a march cached before the occupancy /
+    termination state advanced must NOT be re-shaded as current: the
+    trainer's march_version bumps on occupancy updates and the viewer
+    keys caches on it, so a post-update full render re-marches and
+    matches a fresh uncached render exactly."""
+    from tetranerf_tpu.utils import sample_sphere_rays, sphere_ray_targets
+
+    points, colors = make_sphere_scene(400, seed=4)
+    mesh = build_mesh(points)
+    config = tetranerf_preset()
+    config.model = TetrahedraNerfConfig(
+        num_samples=8, num_fine_samples=0, max_intersected_triangles=64,
+        field_dim=8, hidden_size=16, compute_dtype="float32",
+        use_occupancy_field=True, occupancy_update_every=1,
+        occupancy_refresh_every=0, occupancy_retune_every=0,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    viewer = ViewerServer(trainer, port=0, chunk=256)
+
+    pos = [0, 2.5, 0.5]
+    png0 = viewer.render_frame(pos, 16, "full")
+    assert png0[:4] == b"\x89PNG"
+    v0 = trainer.march_version
+    keys0 = set(viewer._caches)
+    assert len(keys0) == 1
+
+    rng = np.random.default_rng(1)
+    o, d = sample_sphere_rays(rng, 64)
+    for _ in range(3):  # occupancy EMA updates bump march_version
+        trainer.train_step(
+            {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+        )
+    assert trainer.march_version > v0
+
+    viewer.render_frame(pos, 16, "full")
+    assert set(viewer._caches) != keys0  # stale cache not reused
+
+    # The re-marched refine equals a fresh uncached render of the rays.
+    c2w = __import__(
+        "tetranerf_tpu.viewer", fromlist=["_look_at"]
+    )._look_at(pos)
+    from tetranerf_tpu.viewer import _camera_rays
+
+    ro, rd = _camera_rays(c2w, 16, viewer.camera_angle_x)
+    cache = trainer.cache_camera(ro, rd, chunk=256, sort_by_depth=True)
+    cached = trainer.render_cached(cache, adaptive_samples=True)
+    fresh = trainer.render_rays(ro, rd, chunk=256)
+    np.testing.assert_allclose(
+        cached["rgb"], fresh["rgb"], atol=1e-5
+    )
+
+
 def test_viewer_live_training(server):
     """Frames keep rendering while train steps run concurrently (the
     --viewer-port live path); donated-buffer races resolve via retry."""

@@ -20,9 +20,14 @@ def triangulate(points: np.ndarray) -> np.ndarray:
     ``[V, 3]`` float points, returns ``[C, 4]`` int32 vertex-index
     quadruples for all finite tetrahedra.
 
-    Degenerate (zero-volume) simplices that Qhull occasionally emits for
-    cospherical/coplanar inputs are dropped so that downstream barycentric
-    plane tables are well conditioned.
+    Degenerate (zero-volume) simplices that Qhull emits for cospherical/
+    coplanar inputs are KEPT: the marcher's neighbor adjacency must stay
+    watertight (CGAL keeps the full complex the same way, reference
+    ``src/triangulation.cpp:34-75``). Dropping a sliver would turn its
+    kept neighbors' shared faces into fake boundary (−1), terminating
+    rays mid-interior. Their (near-)singular plane tables are
+    regularized in ``mesh.compute_planes`` so rays forward through them
+    with ~zero chord instead of getting lost.
     """
     from scipy.spatial import Delaunay  # deferred: scipy import is slow
 
@@ -36,10 +41,7 @@ def triangulate(points: np.ndarray) -> np.ndarray:
     # Qz adds a point at infinity; simplices touching it are already
     # excluded by scipy, but guard against out-of-range indices anyway.
     cells = cells[(cells < len(points)).all(axis=1)]
-    vols = _signed_volumes(points, cells)
-    scale = float(np.abs(points).max()) or 1.0
-    keep = np.abs(vols) > (1e-12 * scale**3)
-    return np.ascontiguousarray(cells[keep])
+    return np.ascontiguousarray(cells)
 
 
 def _signed_volumes(points: np.ndarray, cells: np.ndarray) -> np.ndarray:

@@ -228,22 +228,89 @@ def compute_planes(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
     For cell ``c`` with vertex positions ``v_0..v_3``, solves for the
     affine functions ``b_k(x) = n_k·x + d_k`` with ``b_k(v_j) = δ_kj`` by
     inverting the homogeneous matrix ``M = [[v_0..v_3]; [1 1 1 1]]``.
-    Near-singular (degenerate) cells get well-defined but extreme planes;
-    exactly singular ones are replaced with a sentinel that makes every
-    barycentric evaluate to a large negative value.
+
+    Near-singular (sliver) cells get well-defined but extreme planes —
+    the marcher crosses them with ~zero chord (its exit distance is
+    clamped monotonic). (Numerically) SINGULAR cells — zero-volume
+    simplices Qhull emits for cospherical/coplanar inputs, which MUST
+    stay in the complex to keep the neighbor adjacency watertight — are
+    regularized by a deterministic relative jitter of their vertex
+    positions (for the plane solve only): the resulting planes forward
+    a crossing ray to a geometrically consistent neighbor with ~zero
+    chord error instead of terminating it (the sentinel this replaces
+    made the marcher stop mid-interior at every dropped sliver).
     """
-    v = np.asarray(vertices, dtype=np.float64)[np.asarray(cells, dtype=np.int64)]
+    cells = np.asarray(cells, dtype=np.int64)
+    v = np.asarray(vertices, dtype=np.float64)[cells]
     m = np.concatenate([v, np.ones_like(v[..., :1])], axis=-1)  # [C, 4, 4]
     m = np.swapaxes(m, -1, -2)  # columns are [v_k; 1]
     dets = np.linalg.det(m)
-    singular = np.abs(dets) < 1e-300
+    # Relative degeneracy: |det| = 6*volume vs the cell's own edge scale.
+    edge = np.linalg.norm(v[:, 1:] - v[:, :1], axis=-1).max(axis=-1)
+    singular = np.abs(dets) <= 1e-14 * np.maximum(edge, 1e-30) ** 3
     if np.any(singular):
+        rng = np.random.default_rng(0)  # deterministic across runs
         m = m.copy()
-        m[singular] = np.eye(4)
+        idx = np.nonzero(singular)[0]
+        eps = 1e-7
+        for _ in range(8):
+            jit = rng.standard_normal((len(idx), 3, 4))
+            m[idx, :3, :] = m[idx, :3, :] + (
+                eps * np.maximum(edge[idx], 1e-30)[:, None, None] * jit
+            )
+            still = np.abs(np.linalg.det(m[idx])) <= (
+                1e-14 * np.maximum(edge[idx], 1e-30) ** 3
+            )
+            if not still.any():
+                break
+            idx = idx[still]
+            eps *= 10.0
+        else:  # pathological (e.g. 4 identical points): sentinel that
+            # is never "inside" and never an exit (ray terminates there;
+            # such a cell has no crossable interior anyway)
+            m[idx] = np.eye(4)
+            planes = np.linalg.inv(m)
+            planes[idx] = np.array([0.0, 0.0, 0.0, -1e30])[None, :]
+            return planes.astype(np.float32)
     planes = np.linalg.inv(m)
-    if np.any(singular):
-        planes[singular] = np.array([0.0, 0.0, 0.0, -1e30])[None, :]
     return planes.astype(np.float32)
+
+
+def _check_watertight(vertices, cells, neighbors, hull_eqs, tol_rel=1e-5):
+    """Raise if any boundary face (neighbor −1) lies strictly INSIDE the
+    convex hull — a hole in the complex that would silently terminate
+    marching rays. ``tol_rel`` is relative to the scene scale (hull
+    plane normals are unit, so the eval is a signed distance)."""
+    boundary_mask = (np.asarray(neighbors) < 0).reshape(-1)
+    if not boundary_mask.any():
+        return
+    v = np.asarray(vertices, np.float64)
+    faces = _face_key_sort(np.asarray(cells, np.int64))[boundary_mask]
+    centroids = v[faces].mean(axis=1)  # [B, 3]
+    scale = float(np.abs(v).max()) or 1.0
+    # Signed distance to the hull: max over facet half-spaces (<= 0
+    # inside; == 0 on the surface). Chunked — B x H can be large.
+    tol = tol_rel * scale
+    n, d = hull_eqs[:, :3], hull_eqs[:, 3]
+    interior = 0
+    example = None
+    for i in range(0, len(centroids), 65536):
+        c = centroids[i : i + 65536]
+        dist = (c @ n.T + d[None, :]).max(axis=1)
+        bad = dist < -tol
+        interior += int(bad.sum())
+        if example is None and bad.any():
+            example = c[np.argmax(bad)]
+    if interior:
+        raise ValueError(
+            f"non-watertight tetrahedra complex: {interior} boundary "
+            f"face(s) lie strictly inside the convex hull (e.g. near "
+            f"{example}); the marcher would silently terminate rays "
+            "there. Most likely cause: degenerate (zero-volume) cells "
+            "were dropped from the cell list before adjacency — pass "
+            "the FULL simplicial complex (tetranerf_tpu keeps slivers "
+            "and regularizes their plane tables instead)."
+        )
 
 
 def _convex_hull(vertices: np.ndarray):
@@ -285,6 +352,15 @@ def build_mesh(
     # facet equations with outward unit normals: n·x + d <= 0 inside.
     hull = _convex_hull(vertices)
     hull_eqs = hull.equations.astype(np.float64)
+
+    # Watertightness guard: every boundary face (neighbor −1) must lie ON
+    # the convex hull. An interior boundary face — typically from a cell
+    # list with degenerate simplices dropped before adjacency (e.g. an
+    # externally filtered .th) — makes the marcher terminate rays
+    # mid-interior SILENTLY: fail loudly instead (the reference's CGAL
+    # complex is watertight by construction, ``triangulation.cpp:34-75``;
+    # our own ``triangulate`` keeps the full complex too).
+    _check_watertight(vertices, cells, neighbors, hull_eqs)
 
     # Map each hull facet to an incident boundary cell: hash boundary faces
     # of the complex by sorted vertex triple and look the facet up; facets

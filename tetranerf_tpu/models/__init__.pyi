@@ -47,6 +47,7 @@ class TetrahedraNerfConfig:
     fused_mlps: bool
     ray_buckets: int
     bucket_short_steps: Optional[int]
+    bucket_adaptive_samples: bool
     traversal_hops: int
     march_compaction: int
     grad_stream_budget_per_ray: Optional[int]
@@ -86,6 +87,7 @@ class TetrahedraNerfConfig:
         fused_mlps: bool = ...,
         ray_buckets: int = ...,
         bucket_short_steps: Optional[int] = ...,
+        bucket_adaptive_samples: bool = ...,
         traversal_hops: int = ...,
         march_compaction: int = ...,
         grad_stream_budget_per_ray: Optional[int] = ...,
@@ -118,6 +120,8 @@ class TetraNerf:
         num_samples: Optional[int] = ...,
         num_fine_samples: Optional[int] = ...,
         cached_march: Optional[Any] = ...,
+        occ_depth_cap: Optional[ArrayLike] = ...,
+        bucket_steps: Optional[tuple] = ...,
     ) -> Dict[str, jax.Array]: ...
     def loss(
         self, outputs: Dict[str, jax.Array], batch: Any

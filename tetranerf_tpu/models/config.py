@@ -137,15 +137,25 @@ class TetrahedraNerfConfig:
     tiny matmul chains is already HBM-efficient; kept for hardware
     where the balance differs."""
     ray_buckets: int = 1
-    """1 = every [·, T]-shaped stage pads to the batch-max bound; 2 =
-    one geometry march, then rays sort by their TRUE crossing count and
-    the shallow half's downstream stages (endpoint features, the
-    [R, S, T] sample-interval matmuls, their backwards) run at the
-    tighter ``bucket_short_steps`` (set per scene by the trainer's
-    probes / transmittance retune)."""
+    """1 = every [·, T]-shaped stage pads to the batch-max bound; K >= 2
+    = one geometry march, then rays sort by their TRUE crossing count,
+    split into K equal quantile buckets, and bucket k's downstream
+    stages (endpoint features, the [R, S, T] sample-interval matmuls,
+    their backwards) run at its own tighter static bound (set per scene
+    by the trainer's probes / transmittance retune). With a warm
+    occupancy field the median ray crosses a small fraction of the
+    batch-max bound — quantile bucketing is what converts that into
+    wall-clock on the T-proportional shading stages."""
     bucket_short_steps: Optional[int] = None
-    """Interval bound for the shallow bucket (None = tuned by the
-    trainer, falling back to max_steps // 2)."""
+    """Interval bound for the shallowest bucket (None = tuned by the
+    trainer, falling back to a linear split of max_steps); for
+    ray_buckets > 2 the inner bounds interpolate linearly from it."""
+    bucket_adaptive_samples: bool = True
+    """Scale each bucket's sample budget with its depth bound
+    (``utils.shapes.scaled_budget``): per-crossing sample density never
+    drops below the full budget's, so shallow buckets stop paying
+    full-depth [R, S, ·] MLP + interpolation rounds. The same policy as
+    the depth-sorted viewer refine (``Trainer.adaptive_budget``)."""
     traversal_hops: int = 1
     """Cells advanced per sequential gather in the marcher (1 or 2; 2
     needs ``build_mesh(two_hop_table=True)``). Measured neutral on v5e —

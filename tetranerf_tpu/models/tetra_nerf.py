@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.mesh import TetrahedraMesh
+from ..utils.shapes import scaled_budget
 from ..ops.encoding import nerf_encoding, nerf_encoding_dim
 from ..ops.fused import (
     FusedMarch,
@@ -146,13 +147,13 @@ class TetraNerf:
             params["appearance_embedding"] = jax.random.normal(
                 keys[5], (self.num_train_images, cfg.appearance_embed_dim)
             )
-        if cfg.use_occupancy_field:
-            # Per-cell occupancy buffer (reference registers it but never
-            # reads it in the forward pass, ``model.py:256-265``); update
-            # it with ``tetranerf_tpu.ops.update_occupancy``.
-            params["tetrahedra_occupancy"] = jnp.zeros(
-                (self.mesh.num_cells,), jnp.float32
-            )
+        # NOTE: no per-cell occupancy PARAMETER. The reference registers a
+        # ``tetrahedra_occupancy`` buffer it never reads (``model.py:
+        # 256-265``); here the live per-cell density EMA is trainer state
+        # (``Trainer._occ``, persisted as ``occupancy.npy`` next to the
+        # checkpoint) — it receives no gradient, so keeping it in the
+        # param tree would only drag dead optimizer moments (~80 MB at
+        # dense-1M scale) through every step and checkpoint.
         return params
 
     # --------------------------------------------------------------- helpers
@@ -382,17 +383,20 @@ class TetraNerf:
         num_fine_samples: Optional[int] = None,
         cached_march: Optional["FusedMarch"] = None,
         occ_depth_cap=None,
+        bucket_steps=None,
     ) -> Dict[str, jnp.ndarray]:
         """Forward pass. Pass ``mesh`` explicitly inside jitted functions:
         a closed-over mesh becomes an HLO constant, embedding hundreds of
         MB of tables into every compiled executable.
 
-        ``max_steps``/``short_steps`` override the configured traversal
-        bounds without mutating the config (used by
-        ``Trainer.tune_traversal_steps``). The output's
-        ``traversal_overflow`` flags rays whose march was truncated by the
-        bound — a nonzero count means far geometry is being dropped and
-        the bound should be raised.
+        ``max_steps``/``short_steps``/``bucket_steps`` override the
+        configured traversal bounds without mutating the config (used by
+        ``Trainer.tune_traversal_steps``; ``bucket_steps`` is the
+        ascending tuple of ``ray_buckets - 1`` inner quantile-bucket
+        bounds, the deepest bucket always shades at ``max_steps``). The
+        output's ``traversal_overflow`` flags rays whose march was
+        truncated by the bound — a nonzero count means far geometry is
+        being dropped and the bound should be raised.
 
         ``num_samples``/``num_fine_samples`` override the sample budget
         (render-speed knob; ``num_fine_samples=0`` skips the PDF round).
@@ -403,44 +407,91 @@ class TetraNerf:
         mesh = mesh if mesh is not None else self.mesh
         cfg = self.config
         max_steps = max_steps or cfg.max_intersected_triangles
-        if cfg.ray_buckets == 2 and (
+        if cfg.ray_buckets >= 2 and (
             cached_march is None or cached_march.stream is not None
         ):
-            return self._get_outputs_bucketed(
-                params, rays, rng, train, mesh, max_steps, short_steps,
-                num_samples, num_fine_samples, cached_march, occ_depth_cap,
+            if cached_march is not None:
+                max_steps = cached_march.t1.shape[1]
+            bounds = self._bucket_bounds(
+                max_steps, short_steps, bucket_steps
             )
+            if any(b < max_steps for b in bounds):
+                return self._get_outputs_bucketed(
+                    params, rays, rng, train, mesh, bounds,
+                    num_samples, num_fine_samples, cached_march,
+                    occ_depth_cap,
+                )
+            # Every bucket at the full bound (e.g. a depth-sorted viewer
+            # chunk pinned to its own bound): bucketing is a no-op —
+            # skip the sort/slice/concat and the K separate compiles.
         return self._forward(
             params, rays, rng, train, mesh, max_steps,
             num_samples, num_fine_samples, cached_march, occ_depth_cap,
         )
 
+    def _bucket_bounds(self, max_steps, short_steps, bucket_steps):
+        """The K ascending static interval bounds for quantile-bucketed
+        shading (deepest = ``max_steps``). Priority: explicit
+        ``bucket_steps`` (trainer-tuned) > ``short_steps`` /
+        ``config.bucket_short_steps`` (K=2 legacy / viewer pin,
+        interpolated linearly for K>2) > an untuned linear split."""
+        cfg = self.config
+        k_buckets = cfg.ray_buckets
+        if bucket_steps is not None:
+            inner = [int(b) for b in bucket_steps][: k_buckets - 1]
+        else:
+            short = short_steps or cfg.bucket_short_steps
+            if short is None:
+                inner = [
+                    max(16, max_steps * (k + 1) // k_buckets)
+                    for k in range(k_buckets - 1)
+                ]
+            else:
+                inner = [
+                    int(short + (max_steps - short) * k / max(k_buckets - 1, 1))
+                    for k in range(k_buckets - 1)
+                ]
+        # Clamp into (0, max_steps], force nondecreasing.
+        bounds, cur = [], 16
+        for b in inner:
+            cur = min(max(b, cur), max_steps)
+            bounds.append(cur)
+        bounds.append(max_steps)
+        return tuple(bounds)
+
     def _get_outputs_bucketed(
-        self, params, rays, rng, train, mesh, max_steps, short_steps,
+        self, params, rays, rng, train, mesh, bounds,
         num_samples=None, num_fine_samples=None, cached_march=None,
         occ_depth_cap=None,
     ):
-        """Two-bucket shading keyed by each ray's TRUE crossing count.
+        """K-bucket shading keyed by each ray's TRUE crossing count.
 
-        One geometry march for the whole batch (per-ray compaction
-        already makes the march's cost track actual crossings); rays are
-        then sorted by ``num_valid`` and the shallow half's downstream
-        stages — endpoint features, blend, the [R, S, T]-shaped
-        sample-interval one-hot matmuls, and their backwards — run at
-        the tighter static bound ``bucket_short_steps``. Every
-        [·, T]-shaped tensor otherwise pads to the batch max, so this
-        trims the T-proportional work the static bound cannot (the
-        crossing tail pins it; docs/RESULTS.md round 3). Truncation by
-        the short bound (shallow-half rays deeper than ``t_short``)
-        is surfaced via ``traversal_overflow`` like any other bound."""
+        One geometry march for the whole batch at the full bound
+        (per-ray compaction already makes the march's cost track actual
+        crossings); rays are then sorted by ``num_valid``, split into K
+        equal quantile buckets, and bucket k's downstream stages —
+        endpoint features, blend, the [R, S, T]-shaped sample-interval
+        one-hot matmuls, and their backwards — run at its own static
+        bound ``bounds[k]``. With ``bucket_adaptive_samples`` the sample
+        budget scales with the bound too (per-crossing sample density
+        never drops below the full budget's — the policy the depth-
+        sorted viewer refine validated at >30 dB, ``Trainer.
+        adaptive_budget``), so shallow rays stop paying full-depth
+        [R, S, ·] MLP/interp rounds for a handful of crossed cells.
+        Every [·, T]-shaped tensor otherwise pads to the batch max —
+        this trims the T- and S-proportional work the static bound
+        cannot (the crossing tail pins it; docs/RESULTS.md round 3).
+        Truncation by an inner bound (bucket rays deeper than
+        ``bounds[k]``) is surfaced via ``traversal_overflow`` like any
+        other bound."""
         cfg = self.config
         origins = jnp.asarray(rays.origins)
         directions = jnp.asarray(rays.directions)
         num_rays = origins.shape[0]
-        half = num_rays // 2
+        k_buckets = len(bounds)
+        max_steps = bounds[-1]
         if cached_march is not None:
             res = cached_march
-            max_steps = res.t1.shape[1]
         else:
             res = march_features(
                 mesh,
@@ -455,14 +506,19 @@ class TetraNerf:
                 occ_depth_cap=occ_depth_cap,
             )
         if res.stream is None:
-            raise ValueError("ray_buckets=2 requires traversal_hops=1")
+            raise ValueError("ray_buckets >= 2 requires traversal_hops=1")
         order = jnp.argsort(res.num_valid)
         inv_order = jnp.argsort(order)
-        t_short = short_steps or cfg.bucket_short_steps or max(
-            16, max_steps // 2
-        )
         keys = (
-            jax.random.split(rng, 2) if rng is not None else (None, None)
+            jax.random.split(rng, k_buckets)
+            if rng is not None
+            else (None,) * k_buckets
+        )
+        n_coarse = num_samples if num_samples is not None else cfg.num_samples
+        n_fine = (
+            num_fine_samples
+            if num_fine_samples is not None
+            else cfg.num_fine_samples
         )
 
         def sub_bundle(idx):
@@ -473,20 +529,31 @@ class TetraNerf:
                 camera_indices=cam[idx] if cam is not None else None,
             )
 
-        def bucket(idx, t, key):
+        outs = []
+        for k in range(k_buckets):
+            lo = num_rays * k // k_buckets
+            hi = num_rays * (k + 1) // k_buckets
+            if hi == lo:
+                continue
+            t_k = bounds[k]
+            if cfg.bucket_adaptive_samples:
+                ns_k = scaled_budget(n_coarse, t_k, max_steps)
+                nf_k = scaled_budget(n_fine, t_k, max_steps)
+            else:
+                ns_k, nf_k = n_coarse, n_fine
+            idx = order[lo:hi]
             # _forward's cached-march branch computes the bucket's
-            # endpoint features (with the per-bucket gradient budget).
-            return self._forward(
-                params, sub_bundle(idx), key, train, mesh, t,
-                num_samples, num_fine_samples,
-                cached_march=_slice_march(res, idx, t),
-            )  # cap already applied in the shared march above
-
-        out_a = bucket(order[:half], t_short, keys[0])
-        out_b = bucket(order[half:], max_steps, keys[1])
+            # endpoint features (with the per-bucket gradient budget);
+            # the occupancy cap was already applied in the shared march.
+            outs.append(
+                self._forward(
+                    params, sub_bundle(idx), keys[k], train, mesh, t_k,
+                    ns_k, nf_k, cached_march=_slice_march(res, idx, t_k),
+                )
+            )
         return {
-            k: jnp.concatenate([out_a[k], out_b[k]], axis=0)[inv_order]
-            for k in out_a
+            k: jnp.concatenate([o[k] for o in outs], axis=0)[inv_order]
+            for k in outs[0]
         }
 
     def _forward(

@@ -78,6 +78,7 @@ def march_features(
     compact_stages: int = ...,
     use_skip: bool = ...,
     grad_stream_budget: Optional[int] = ...,
+    occ_depth_cap: Optional[ArrayLike] = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...

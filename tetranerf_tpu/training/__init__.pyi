@@ -26,6 +26,7 @@ class TrainConfig:
     seed: int
     output_dir: Optional[str]
     num_data_shards: Optional[int]
+    num_model_shards: int
     def __init__(self, *args: Any, **kwargs: Any) -> None: ...
 
 def tetranerf_preset(**overrides: Any) -> TrainConfig: ...
@@ -42,7 +43,7 @@ def make_train_step(
     model: TetraNerf,
     optimizer: optax.GradientTransformation,
     max_steps: Optional[int] = ...,
-    short_steps: Optional[int] = ...,
+    bucket_steps: Optional[tuple] = ...,
 ) -> Callable[..., Any]: ...
 
 class Trainer:
@@ -51,7 +52,11 @@ class Trainer:
     state: TrainState
     mesh_tables: TetrahedraMesh
     tuned_max_steps: Optional[int]
-    tuned_short_steps: Optional[int]
+    tuned_bucket_steps: Optional[tuple]
+    @property
+    def tuned_short_steps(self) -> Optional[int]: ...
+    @property
+    def march_version(self) -> int: ...
     def __init__(
         self,
         config: TrainConfig,
@@ -84,6 +89,13 @@ class Trainer:
         chunk: int = ...,
         sort_by_depth: bool = ...,
     ) -> Dict[str, Any]: ...
+    def adaptive_budget(
+        self,
+        bounds: Any,
+        ci: int,
+        num_samples: Optional[int] = ...,
+        num_fine_samples: Optional[int] = ...,
+    ) -> Any: ...
     def render_cached(
         self,
         cache: Dict[str, Any],

@@ -48,6 +48,79 @@ def build_mesh_for_dataset(dataset, tetrahedra_path=None, two_hop_table=False):
     return mesh, colors
 
 
+def _parse_flag_value(raw: str, tp):
+    """Parse a CLI string into a config-field value given its type
+    annotation (int/float/str/bool, Optional[...] and Literal[...])."""
+    import typing
+
+    if raw.lower() in ("none", "null"):
+        return None
+    origin = typing.get_origin(tp)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        for a in args:
+            try:
+                return _parse_flag_value(raw, a)
+            except (ValueError, TypeError):
+                continue
+        raise ValueError(f"cannot parse {raw!r} as {tp}")
+    if origin is typing.Literal:
+        choices = typing.get_args(tp)
+        for c in choices:
+            if raw == str(c):
+                return c
+        raise ValueError(f"{raw!r} not in {choices}")
+    if tp is bool:
+        if raw.lower() in ("true", "1", "yes", "on"):
+            return True
+        if raw.lower() in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"{raw!r} is not a bool")
+    if tp is int:
+        return int(raw)
+    if tp is float:
+        return float(raw)
+    return raw  # str / Path-like
+
+
+def _add_model_flags(parser):
+    """One ``--model.<field>`` flag per ``TetrahedraNerfConfig`` field —
+    the full config tree is CLI-overridable, mirroring the reference's
+    ``ns-train tetra-nerf --pipeline.model.*`` surface
+    (reference ``README.md:106-115``). Values are parsed against the
+    dataclass annotations at apply time."""
+    import dataclasses as dc
+
+    from ..models.config import TetrahedraNerfConfig
+
+    group = parser.add_argument_group(
+        "model config (full TetrahedraNerfConfig override surface)"
+    )
+    for f in dc.fields(TetrahedraNerfConfig):
+        flag = "--model." + f.name.replace("_", "-")
+        group.add_argument(
+            flag,
+            dest="model__" + f.name,
+            default=None,
+            metavar="V",
+            help=f"override TetrahedraNerfConfig.{f.name}",
+        )
+
+
+def _apply_model_flags(args, config):
+    import dataclasses as dc
+    import typing
+
+    from ..models.config import TetrahedraNerfConfig
+
+    hints = typing.get_type_hints(TetrahedraNerfConfig)
+    for f in dc.fields(TetrahedraNerfConfig):
+        raw = getattr(args, "model__" + f.name, None)
+        if raw is None:
+            continue
+        setattr(config.model, f.name, _parse_flag_value(raw, hints[f.name]))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tetranerf-train", description=__doc__
@@ -83,6 +156,26 @@ def main(argv=None):
     parser.add_argument("--skip-grid", type=int, default=None,
                         help="empty-space skip grid resolution G "
                         "(requires occupancy; 0 disables)")
+    # Named aliases for the most-tuned knobs (the full surface is the
+    # generic --model.* group below).
+    parser.add_argument("--occupancy-threshold", type=float, default=None,
+                        help="alias for --model.occupancy-threshold")
+    parser.add_argument("--ray-buckets", type=int, default=None,
+                        help="alias for --model.ray-buckets")
+    parser.add_argument("--interp-mode", default=None,
+                        choices=["matmul", "pallas", "gather"],
+                        help="alias for --model.interp-mode")
+    parser.add_argument("--retune-percentile", type=float, default=None,
+                        help="alias for --model.occupancy-retune-percentile")
+    parser.add_argument("--num-model-shards", type=int, default=None,
+                        help="tensor-parallel shards for the feature "
+                        "field (data x model device mesh)")
+    parser.add_argument("--allow-eval-on-train", action="store_true",
+                        help="fall back to the train split when the test "
+                        "split is missing (metrics are tagged "
+                        "eval_split='train'; without this flag a missing "
+                        "test split aborts)")
+    _add_model_flags(parser)
     parser.add_argument("--viewer-port", type=int, default=None,
                         help="serve the interactive orbit viewer on this "
                         "port DURING training (frames render against the "
@@ -125,14 +218,42 @@ def main(argv=None):
         config.model.use_occupancy_field = False
     if args.skip_grid is not None:
         config.model.skip_grid_resolution = args.skip_grid
+    if args.occupancy_threshold is not None:
+        config.model.occupancy_threshold = args.occupancy_threshold
+    if args.ray_buckets is not None:
+        config.model.ray_buckets = args.ray_buckets
+    if args.interp_mode is not None:
+        config.model.interp_mode = args.interp_mode
+    if args.retune_percentile is not None:
+        config.model.occupancy_retune_percentile = args.retune_percentile
+    if args.num_model_shards is not None:
+        config.num_model_shards = args.num_model_shards
+    _apply_model_flags(args, config)
 
     print(f"loading dataset from {args.data} ...", file=sys.stderr)
     kwargs = {"downscale": args.downscale} if args.downscale != 1 else {}
     train_ds = load_dataset(args.data, "train", **kwargs)
+    eval_split = "test"
     try:
         eval_ds = load_dataset(args.data, "test", **kwargs)
-    except Exception:
+    except Exception as exc:
+        # A typo'd/missing test split silently inflating every reported
+        # metric is worse than an abort — require explicit opt-in, and
+        # tag the metrics so eval-on-train is never mistaken for a
+        # held-out number.
+        if not args.allow_eval_on_train:
+            raise SystemExit(
+                f"no test split at {args.data} ({exc}); pass "
+                "--allow-eval-on-train to evaluate on the TRAIN split "
+                "(metrics will be tagged eval_split='train')"
+            )
+        print(
+            f"WARNING: no test split ({exc}); evaluating on the TRAIN "
+            "split — reported metrics are NOT held-out",
+            file=sys.stderr,
+        )
         eval_ds = train_ds
+        eval_split = "train"
     print(
         f"  {train_ds.num_images} train images "
         f"{train_ds.width}x{train_ds.height}",
@@ -246,10 +367,12 @@ def main(argv=None):
         k: float(np.mean([m[k] for m in metrics_acc]))
         for k in metrics_acc[0]
     }
+    mean_metrics["eval_split"] = eval_split
     print(json.dumps(mean_metrics))
     with open(os.path.join(args.output_dir, "eval_metrics.json"), "w") as f:
         json.dump(mean_metrics, f, indent=2)
     trainer.save_checkpoint(os.path.join(args.output_dir, "final"))
+    return trainer  # for tests / programmatic callers
 
 
 def entrypoint():

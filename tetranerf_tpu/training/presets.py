@@ -84,12 +84,15 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             # mean-density EMA (every 16 steps) tracks the chord-average
             # density the march consumes.
             occupancy_retune_every=128,
-            # Post-march depth bucketing: the shallow half of each batch
-            # (sorted by true crossing count) shades at the tighter
-            # short bound the transmittance retune maintains. Measured
-            # 118.2 vs 137.0 ms/step at 8K rays warm, identical outputs
-            # (tests/test_model.py::test_ray_buckets_match_unbucketed).
-            ray_buckets=2,
+            # Post-march depth bucketing: rays sort by true crossing
+            # count and split into K quantile buckets, each shading at
+            # its own tuned static bound with a proportionally scaled
+            # sample budget (bucket_adaptive_samples). With the warm
+            # EMA's crossing collapse (p50 ~= 53 vs a tail-pinned main
+            # bound of 256 on the bench scene) this is the main lever
+            # converting per-ray termination into wall-clock on the
+            # T- and S-proportional shading stages.
+            ray_buckets=4,
             # grad_stream_budget_per_ray stays None: the compacted
             # backward scatter replaces a 2.1M-row scatter with a
             # 1M-row gather + 1M-row scatter, and on v5e the gather is

@@ -42,26 +42,35 @@ class TrainState:
         return dataclasses.replace(self, **kwargs)
 
 
-_BOUND_GRID = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+# Shape policy (shared with the model's bucketed shading and the render
+# benchmarks — see utils/shapes.py for why values land on one coarse
+# grid: every distinct bound is a distinct static shape, i.e. a full
+# XLA recompile). The private aliases remain for existing callers.
+from ..utils.shapes import (  # noqa: E402
+    BOUND_GRID as _BOUND_GRID,
+    grid_ceil as _grid_ceil,
+    rounded_bound as _rounded_bound,
+    scaled_budget as _scaled_budget,
+)
 
 
-def _rounded_bound(crossings) -> int:
-    """Traversal bound from an observed crossing count: 1.5x margin,
-    rounded UP to a coarse grid. The grid (not a multiple-of-16 round)
-    matters operationally: every distinct bound is a distinct static
-    shape — a full XLA recompile of the train step (~minutes on slow
-    hosts) — so retunes must land on few, stable values that the
-    persistent compile cache can reuse across runs."""
-    return _grid_ceil(max(16.0, float(crossings) * 1.5))
-
-
-def _grid_ceil(n) -> int:
-    """Smallest ``_BOUND_GRID`` value >= n (shared by bound retuning and
-    the depth-sorted render cache so static shapes stay deduplicated)."""
-    for g in _BOUND_GRID:
-        if g >= n:
-            return g
-    return int(np.ceil(n / 256)) * 256
+def _quantile_bucket_bounds(
+    nv: np.ndarray, k_buckets: int, full: int, percentile: float
+) -> tuple:
+    """Inner bounds (len ``k_buckets - 1``) for quantile-bucketed
+    shading: rays sort by crossing count and split into K equal
+    buckets, so bucket k's bound is sized from ITS chunk of the sorted
+    probe distribution at the retune percentile (with the standard
+    1.5x margin + grid rounding), clamped to the full bound and forced
+    nondecreasing."""
+    snv = np.sort(nv)
+    inner, cur = [], 16
+    for k in range(k_buckets - 1):
+        chunk = snv[snv.size * k // k_buckets : snv.size * (k + 1) // k_buckets]
+        b = _rounded_bound(int(np.percentile(chunk, percentile)))
+        cur = min(max(b, cur), full)
+        inner.append(cur)
+    return tuple(inner)
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -78,11 +87,11 @@ def make_train_step(
     model: TetraNerf,
     optimizer: optax.GradientTransformation,
     max_steps: Optional[int] = None,
-    short_steps: Optional[int] = None,
+    bucket_steps=None,
 ) -> Callable:
     """Build the (un-jitted) functional train step.
 
-    ``max_steps``/``short_steps`` override the model config's traversal
+    ``max_steps``/``bucket_steps`` override the model config's traversal
     bounds (tuned per scene by ``Trainer.tune_traversal_steps``; the
     config itself is never mutated). The returned metrics include
     ``overflow_rays`` — how many rays' traversal was truncated by the
@@ -103,7 +112,7 @@ def make_train_step(
             )
             outputs = model.get_outputs(
                 params, rays, rng=rng, train=True, mesh=mesh,
-                max_steps=max_steps, short_steps=short_steps,
+                max_steps=max_steps, bucket_steps=bucket_steps,
                 occ_depth_cap=occ_cap,
             )
             loss = jnp.mean(jnp.square(outputs["rgb"] - batch["rgb"]))
@@ -138,7 +147,7 @@ def make_train_step(
 def make_eval_step(
     model: TetraNerf,
     max_steps: Optional[int] = None,
-    short_steps: Optional[int] = None,
+    bucket_steps=None,
 ) -> Callable:
     def eval_step(params, batch, mesh, occ_cap):
         rays = RayBundle(
@@ -148,7 +157,7 @@ def make_eval_step(
         )
         return model.get_outputs(
             params, rays, rng=None, train=False, mesh=mesh,
-            max_steps=max_steps, short_steps=short_steps,
+            max_steps=max_steps, bucket_steps=bucket_steps,
             occ_depth_cap=occ_cap,
         )
 
@@ -219,8 +228,11 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.device_mesh)
         # Scene-tuned traversal bounds (None = the config's). Set by
         # tune_traversal_steps; the user's config is NEVER mutated.
+        # ``tuned_bucket_steps`` holds the ``ray_buckets - 1`` inner
+        # quantile-bucket bounds (ascending; the deepest bucket always
+        # shades at the main bound).
         self.tuned_max_steps: Optional[int] = None
-        self.tuned_short_steps: Optional[int] = None
+        self.tuned_bucket_steps: Optional[tuple] = None
         self._build_steps()
         # Bound the async dispatch queue: with no host sync at all, XLA's
         # multi-device CPU client aborts once too many collective-bearing
@@ -246,6 +258,24 @@ class Trainer:
         self._occ_cap_dev = jax.device_put(
             jnp.float32(self._occ_cap), rep
         )
+        # Monotone counter bumped whenever anything a cached march
+        # depends on changes (occupancy column, skip grid, termination
+        # cap, tuned bounds). Cache holders (the viewer) key on it so a
+        # march cached before the density field moved is never re-shaded
+        # as if it were current — occupancy termination bakes the
+        # density into the cached geometry.
+        self._march_version = 0
+
+    @property
+    def march_version(self) -> int:
+        return self._march_version
+
+    @property
+    def tuned_short_steps(self) -> Optional[int]:
+        """Shallowest tuned bucket bound (legacy K=2 name)."""
+        return (
+            self.tuned_bucket_steps[0] if self.tuned_bucket_steps else None
+        )
 
     def _build_steps(self):
         """(Re)build the jitted train/eval steps with the current tuned
@@ -254,12 +284,15 @@ class Trainer:
         if hasattr(self, "_fast_eval_fns"):
             self._fast_eval_fns.clear()  # bounds baked at trace time
             self._occ_update = None
+        # Tuned-bound changes alter the default marcher bound — caches
+        # of earlier marches must not be re-shaded as current.
+        self._march_version = getattr(self, "_march_version", -1) + 1
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
                 self.optimizer,
                 self.tuned_max_steps,
-                self.tuned_short_steps,
+                self.tuned_bucket_steps,
             ),
             in_shardings=(self._state_sharding, bsh, rep, rep, rep),
             out_shardings=(self._state_sharding, rep),
@@ -267,7 +300,7 @@ class Trainer:
         )
         self._eval_step = jax.jit(
             make_eval_step(
-                self.model, self.tuned_max_steps, self.tuned_short_steps
+                self.model, self.tuned_max_steps, self.tuned_bucket_steps
             ),
             in_shardings=(self._params_sharding, bsh, rep, rep),
             out_shardings=bsh,
@@ -310,7 +343,6 @@ class Trainer:
 
         num_valid, chord = jax.jit(probe)(self.mesh_tables, o, d)
         num_valid = np.asarray(num_valid)
-        chord = np.asarray(chord)
         rounded_bound = _rounded_bound
 
         tuned = min(
@@ -318,11 +350,13 @@ class Trainer:
         )
         if tuned < cfg.max_intersected_triangles:
             self.tuned_max_steps = tuned
-        if cfg.ray_buckets == 2 and cfg.bucket_short_steps is None:
-            # Short bucket = shorter-chord half; bound from its own max.
-            order = np.argsort(chord)
-            short_max = num_valid[order[: len(order) // 2]].max()
-            self.tuned_short_steps = min(tuned, rounded_bound(short_max))
+        if cfg.ray_buckets >= 2 and cfg.bucket_short_steps is None:
+            # Cold probe: size inner bucket bounds from the crossing
+            # distribution's own quantile chunks at p100 (no truncation
+            # before the model has trained anything).
+            self.tuned_bucket_steps = _quantile_bucket_bounds(
+                num_valid, cfg.ray_buckets, tuned, 100.0
+            )
         self._build_steps()
         return self.tuned_max_steps or cfg.max_intersected_triangles
 
@@ -446,6 +480,7 @@ class Trainer:
             self.mesh_tables,
             march_table=jax.device_put(updated, dst),
         )
+        self._march_version += 1
 
     def _ensure_occ(self):
         if self._occ is None:
@@ -562,6 +597,7 @@ class Trainer:
             skip_table=jax.device_put(table, self._rep),
             skip_meta=jax.device_put(self._skip_setup.meta, self._rep),
         )
+        self._march_version += 1
 
     def _nv_eff_fn(self):
         """Jitted probe: per-ray crossing count at which the CURRENT
@@ -680,6 +716,7 @@ class Trainer:
         self._occ_cap_dev = jax.device_put(
             jnp.float32(self._occ_cap), self._rep
         )
+        self._march_version += 1  # cap change alters march termination
         observed = int(np.percentile(nv, cfg.occupancy_retune_percentile))
         cur = self.tuned_max_steps or cfg.max_intersected_triangles
         bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
@@ -688,27 +725,32 @@ class Trainer:
             self.tuned_max_steps = bound
             changed = True
         full = self.tuned_max_steps or cfg.max_intersected_triangles
-        if cfg.ray_buckets == 2 and cfg.bucket_short_steps is None:
-            # Short-bucket bound from the shallow half's own percentile
-            # (the post-march bucketing sorts by the same key).
-            lower = np.sort(nv)[: nv.size // 2]
-            short = min(
-                full,
-                _rounded_bound(
-                    int(
-                        np.percentile(
-                            lower, cfg.occupancy_retune_percentile
-                        )
-                    )
-                ),
+        if cfg.ray_buckets >= 2 and cfg.bucket_short_steps is None:
+            # Per-bucket bounds from each quantile chunk's own
+            # percentile (the post-march bucketing sorts by the same
+            # key). Hysteresis per element, like the main bound: accept
+            # any growth immediately (truncation must self-heal), but
+            # only a meaningful shrink — percentile jitter across
+            # retunes would otherwise oscillate bounds across grid
+            # values, each a recompile.
+            proposed = _quantile_bucket_bounds(
+                nv, cfg.ray_buckets, full, cfg.occupancy_retune_percentile
             )
-            if short != self.tuned_short_steps:
-                self.tuned_short_steps = short
+            cur_b = self.tuned_bucket_steps or proposed
+            new_b = tuple(
+                p if (p > c or p < c - 16) else c
+                for p, c in zip(proposed, cur_b)
+            )
+            new_b = tuple(min(b, full) for b in new_b)
+            if new_b != self.tuned_bucket_steps:
+                self.tuned_bucket_steps = new_b
                 changed = True
-        elif self.tuned_short_steps is not None:
-            clamped = min(self.tuned_short_steps, full)
-            if clamped != self.tuned_short_steps:
-                self.tuned_short_steps = clamped
+        elif self.tuned_bucket_steps is not None:
+            clamped = tuple(
+                min(b, full) for b in self.tuned_bucket_steps
+            )
+            if clamped != self.tuned_bucket_steps:
+                self.tuned_bucket_steps = clamped
                 changed = True
         if changed:
             self._build_steps()
@@ -716,7 +758,7 @@ class Trainer:
 
         print(
             f"# retune@{self._step_count}: bound={self.tuned_max_steps} "
-            f"short={self.tuned_short_steps} "
+            f"buckets={self.tuned_bucket_steps} "
             f"occ_cap={self._occ_cap:.1f} (floor {floor:.1f}) "
             f"nv p50/p99={int(np.percentile(nv, 50))}/"
             f"{int(np.percentile(nv, 99))}",
@@ -772,8 +814,10 @@ class Trainer:
         # rebuild for a meaningful shrink, or for ANY growth (truncation).
         if bound < cur - 16 or bound > cur:
             self.tuned_max_steps = bound
-            if self.tuned_short_steps is not None:
-                self.tuned_short_steps = min(self.tuned_short_steps, bound)
+            if self.tuned_bucket_steps is not None:
+                self.tuned_bucket_steps = tuple(
+                    min(b, bound) for b in self.tuned_bucket_steps
+                )
             self._build_steps()
         return self.tuned_max_steps or cfg.max_intersected_triangles
 
@@ -851,7 +895,7 @@ class Trainer:
                     train=False,
                     mesh=mesh,
                     max_steps=self.tuned_max_steps,
-                    short_steps=self.tuned_short_steps,
+                    bucket_steps=self.tuned_bucket_steps,
                     num_samples=num_samples,
                     num_fine_samples=num_fine_samples,
                     occ_depth_cap=occ_cap,
@@ -917,7 +961,12 @@ class Trainer:
         call would re-trace for every viewer tile). Marches with the
         SAME termination config as the eval forward (occupancy +
         compaction + depth cap) so a cached march reproduces
-        ``render_rays`` and inherits the warm state's short rays."""
+        ``render_rays`` and inherits the warm state's short rays.
+
+        Always ``hops=1``: re-shading a cached march needs the vertex
+        STREAM, which only the one-hop path emits (``fused.py`` builds
+        ``MarchStream`` on hops=1 only) — a ``traversal_hops=2`` config
+        would otherwise crash in ``render_cached``."""
         cfg = self.model.config
         max_steps = (
             max_steps or self.tuned_max_steps or cfg.max_intersected_triangles
@@ -930,7 +979,7 @@ class Trainer:
             def marcher(m, o, d, occ_cap):
                 return march_features(
                     m, None, o, d, max_steps,
-                    hops=cfg.traversal_hops,
+                    hops=1,
                     use_occupancy=cfg.use_occupancy_field,
                     occ_threshold=cfg.occupancy_threshold,
                     compact_stages=cfg.march_compaction,
@@ -967,6 +1016,13 @@ class Trainer:
         origins = np.asarray(origins, np.float32)
         directions = np.asarray(directions, np.float32)
         num = len(origins)
+        # Snapshot everything the march reads: with a live-training
+        # viewer, a concurrent train step can advance the occupancy
+        # column / termination cap between the depth-measuring pass and
+        # the re-march below — pass-2 rays would then terminate later
+        # than the measured num_valid and silently truncate at the
+        # derived per-chunk bound.
+        tables, occ_cap = self.mesh_tables, self._occ_cap_dev
 
         def march_chunks(o_all, d_all, bounds=None):
             chunks = []
@@ -981,8 +1037,8 @@ class Trainer:
                     )
                 marcher = self._marcher_fn(bounds[ci] if bounds else None)
                 chunks.append(
-                    (marcher(self.mesh_tables, jnp.asarray(o),
-                             jnp.asarray(d), self._occ_cap_dev),
+                    (marcher(tables, jnp.asarray(o),
+                             jnp.asarray(d), occ_cap),
                      jnp.asarray(o), jnp.asarray(d))
                 )
             return chunks
@@ -1035,7 +1091,10 @@ class Trainer:
                     rng=None,
                     train=False,
                     mesh=mesh,
-                    short_steps=short_steps or self.tuned_short_steps,
+                    short_steps=short_steps,
+                    bucket_steps=(
+                        None if short_steps else self.tuned_bucket_steps
+                    ),
                     num_samples=num_samples,
                     num_fine_samples=num_fine_samples,
                     cached_march=cached,
@@ -1044,6 +1103,37 @@ class Trainer:
             fn = jax.jit(eval_fn)
             self._fast_eval_fns[key] = fn
         return fn
+
+    def adaptive_budget(
+        self,
+        bounds,
+        ci: int,
+        num_samples: Optional[int] = None,
+        num_fine_samples: Optional[int] = None,
+    ):
+        """Per-chunk ``(num_samples, num_fine_samples)`` for a depth-
+        sorted cache: budgets scale with the chunk's depth bound so the
+        per-crossing sample density never drops below the full budget's,
+        grid-rounded to bound the compile count. THE policy for both
+        the viewer refine (:meth:`render_cached`) and benchmarks —
+        keep them reading one implementation."""
+        cfg = self.model.config
+        t_c = bounds[ci]
+        full = max(bounds) if bounds else 1
+        base_ns = num_samples if num_samples is not None else cfg.num_samples
+        base_nf = (
+            num_fine_samples
+            if num_fine_samples is not None
+            else cfg.num_fine_samples
+        )
+        frac = t_c / max(full, 1)
+        ns = min(base_ns, _grid_ceil(max(16, base_ns * frac)))
+        nf = (
+            min(base_nf, _grid_ceil(max(16, base_nf * frac)))
+            if base_nf
+            else base_nf
+        )
+        return ns, nf
 
     def render_cached(
         self,
@@ -1061,23 +1151,13 @@ class Trainer:
         chunks stop paying S=257 MLP+interp rounds for a handful of
         crossed cells. Budgets land on the same coarse grid as bounds
         to bound the compile count."""
-        cfg = self.model.config
         bounds = cache.get("bounds") if isinstance(cache, dict) else None
-        full = max(bounds) if bounds else None
         pending = []
         for ci, (cached, o, d) in enumerate(cache["chunks"]):
             t_c = bounds[ci] if bounds else None
             ns, nf = num_samples, num_fine_samples
             if adaptive_samples and t_c is not None:
-                base_ns = ns if ns is not None else cfg.num_samples
-                base_nf = nf if nf is not None else cfg.num_fine_samples
-                frac = t_c / max(full, 1)
-                ns = min(base_ns, _grid_ceil(max(16, base_ns * frac)))
-                nf = (
-                    min(base_nf, _grid_ceil(max(16, base_nf * frac)))
-                    if base_nf
-                    else base_nf
-                )
+                ns, nf = self.adaptive_budget(bounds, ci, ns, nf)
             fn = self._cached_render_fn(ns, nf, t_c)
             pending.append(
                 fn(self.state.params, cached, o, d, self.mesh_tables)

@@ -1,3 +1,17 @@
-from .synthetic import make_sphere_scene, sample_sphere_rays, sphere_ray_targets
+from .synthetic import (
+    camera_ray_targets,
+    make_camera_scene,
+    make_sphere_scene,
+    sample_camera_rays,
+    sample_sphere_rays,
+    sphere_ray_targets,
+)
 
-__all__ = ["make_sphere_scene", "sample_sphere_rays", "sphere_ray_targets"]
+__all__ = [
+    "camera_ray_targets",
+    "make_camera_scene",
+    "make_sphere_scene",
+    "sample_camera_rays",
+    "sample_sphere_rays",
+    "sphere_ray_targets",
+]

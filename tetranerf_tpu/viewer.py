@@ -259,9 +259,15 @@ class ViewerServer:
 
     def _render(self, o, d, c2w, side: int, quality: str, y0: int, y1: int):
         if quality == "full":
+            # The trainer's march_version advances whenever occupancy /
+            # termination-cap / tuned-bound state changes — a march
+            # cached under the OLD termination state could permanently
+            # miss geometry that later density updates reveal (the
+            # march bakes the density field into the cached intervals).
+            version = getattr(self.trainer, "march_version", 0)
             key = (
                 c2w.tobytes()
-                + np.int64([side, y0, y1]).tobytes()
+                + np.int64([side, y0, y1, version]).tobytes()
             )
             cache = self._caches.get(key)
             if cache is None:
