@@ -55,6 +55,12 @@ def main():
     p.add_argument("--out", default="/tmp/tnerf_trace_warm")
     p.add_argument("--set", action="append", default=[],
                    metavar="KEY=VALUE", help="model-config override")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated inner bucket bounds (overrides "
+                        "the snapshot's tuned tuple; pair with --set "
+                        "ray_buckets=K for K-1 bounds)")
+    p.add_argument("--rays", type=int, default=None,
+                   help="rays per batch (default: the snapshot's)")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -65,7 +71,14 @@ def main():
     overrides = dict(_parse_override(kv) for kv in args.set)
     if overrides:
         print(f"# overrides: {overrides}")
-    trainer, make_batch = restore_trainer(args.snap, overrides)
+    trainer, make_batch = restore_trainer(
+        args.snap, overrides, rays=args.rays
+    )
+    if args.buckets:
+        trainer.tuned_bucket_steps = tuple(
+            int(b) for b in args.buckets.split(",")
+        )
+        trainer._build_steps()
     print(
         f"# warm state: bound={trainer.tuned_max_steps} "
         f"buckets={trainer.tuned_bucket_steps} "
@@ -89,7 +102,8 @@ def main():
     rays = batches[0]["origins"].shape[0]
     print(
         f"# steady step: {dt*1e3:.1f} ms ({rays/dt:,.0f} rays/s) "
-        f"loss={float(m['loss']):.4f}"
+        f"loss={float(m['loss']):.4f} "
+        f"overflow={int(m.get('overflow_rays', 0))}"
     )
 
     if not args.trace:

@@ -134,7 +134,7 @@ def main():
     print(f"# snapshot -> {out}: {meta}", file=sys.stderr)
 
 
-def restore_trainer(path: str, overrides=None):
+def restore_trainer(path: str, overrides=None, rays=None):
     """Rebuild scene + trainer from a snapshot directory (seconds, not
     minutes). Returns ``(trainer, make_batch)`` in the snapshot's warm
     state: params, occupancy EMA/column, tuned bounds, depth cap.
@@ -162,7 +162,7 @@ def restore_trainer(path: str, overrides=None):
     )
     trainer._build_steps()
     rng = np.random.default_rng(0)
-    rays = meta["rays"]
+    rays = rays or meta["rays"]
 
     def make_batch():
         o, d = sample_rays(rng, rays)

@@ -47,6 +47,7 @@ class TetrahedraNerfConfig:
     fused_mlps: bool
     ray_buckets: int
     bucket_short_steps: Optional[int]
+    bucket_bound_margin: float
     bucket_adaptive_samples: bool
     traversal_hops: int
     march_compaction: int
@@ -87,6 +88,7 @@ class TetrahedraNerfConfig:
         fused_mlps: bool = ...,
         ray_buckets: int = ...,
         bucket_short_steps: Optional[int] = ...,
+        bucket_bound_margin: float = ...,
         bucket_adaptive_samples: bool = ...,
         traversal_hops: int = ...,
         march_compaction: int = ...,

@@ -150,6 +150,15 @@ class TetrahedraNerfConfig:
     """Interval bound for the shallowest bucket (None = tuned by the
     trainer, falling back to a linear split of max_steps); for
     ray_buckets > 2 the inner bounds interpolate linearly from it."""
+    bucket_bound_margin: float = 1.15
+    """Safety margin the warm retune applies when sizing each quantile
+    bucket's interval bound from its chunk of the probe distribution
+    (``utils.shapes.inner_bound``). Bucketing sorts every batch by the
+    same crossing-count key the bounds were sized from, so the margin
+    only absorbs batch-to-batch quantile jitter — far smaller than the
+    main bound's 1.5x distribution-shift margin. Truncation grows the
+    bound back at the next retune and is surfaced via ``overflow_rays``
+    meanwhile."""
     bucket_adaptive_samples: bool = True
     """Scale each bucket's sample budget with its depth bound
     (``utils.shapes.scaled_budget``): per-crossing sample density never

@@ -92,7 +92,7 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             # bound of 256 on the bench scene) this is the main lever
             # converting per-ray termination into wall-clock on the
             # T- and S-proportional shading stages.
-            ray_buckets=4,
+            ray_buckets=8,
             # grad_stream_budget_per_ray stays None: the compacted
             # backward scatter replaces a 2.1M-row scatter with a
             # 1M-row gather + 1M-row scatter, and on v5e the gather is

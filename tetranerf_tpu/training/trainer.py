@@ -49,25 +49,28 @@ class TrainState:
 from ..utils.shapes import (  # noqa: E402
     BOUND_GRID as _BOUND_GRID,
     grid_ceil as _grid_ceil,
+    inner_bound as _inner_bound,
     rounded_bound as _rounded_bound,
     scaled_budget as _scaled_budget,
 )
 
 
 def _quantile_bucket_bounds(
-    nv: np.ndarray, k_buckets: int, full: int, percentile: float
+    nv: np.ndarray, k_buckets: int, full: int, percentile: float,
+    margin: float = 1.15,
 ) -> tuple:
     """Inner bounds (len ``k_buckets - 1``) for quantile-bucketed
     shading: rays sort by crossing count and split into K equal
     buckets, so bucket k's bound is sized from ITS chunk of the sorted
-    probe distribution at the retune percentile (with the standard
-    1.5x margin + grid rounding), clamped to the full bound and forced
-    nondecreasing."""
+    probe distribution at the retune percentile, with a small margin on
+    a fine (multiple-of-8) grid — see ``utils.shapes.inner_bound`` for
+    why the main bound's 1.5x/coarse-grid policy is wrong here —
+    clamped to the full bound and forced nondecreasing."""
     snv = np.sort(nv)
     inner, cur = [], 16
     for k in range(k_buckets - 1):
         chunk = snv[snv.size * k // k_buckets : snv.size * (k + 1) // k_buckets]
-        b = _rounded_bound(int(np.percentile(chunk, percentile)))
+        b = _inner_bound(np.percentile(chunk, percentile), margin)
         cur = min(max(b, cur), full)
         inner.append(cur)
     return tuple(inner)
@@ -352,10 +355,11 @@ class Trainer:
             self.tuned_max_steps = tuned
         if cfg.ray_buckets >= 2 and cfg.bucket_short_steps is None:
             # Cold probe: size inner bucket bounds from the crossing
-            # distribution's own quantile chunks at p100 (no truncation
-            # before the model has trained anything).
+            # distribution's own quantile chunks at p100 with the WIDE
+            # 1.5x margin (no truncation before the model has trained
+            # anything; warm retunes tighten to the config margin).
             self.tuned_bucket_steps = _quantile_bucket_bounds(
-                num_valid, cfg.ray_buckets, tuned, 100.0
+                num_valid, cfg.ray_buckets, tuned, 100.0, margin=1.5
             )
         self._build_steps()
         return self.tuned_max_steps or cfg.max_intersected_triangles
@@ -734,14 +738,22 @@ class Trainer:
             # retunes would otherwise oscillate bounds across grid
             # values, each a recompile.
             proposed = _quantile_bucket_bounds(
-                nv, cfg.ray_buckets, full, cfg.occupancy_retune_percentile
+                nv, cfg.ray_buckets, full, cfg.occupancy_retune_percentile,
+                margin=cfg.bucket_bound_margin,
             )
             cur_b = self.tuned_bucket_steps or proposed
             new_b = tuple(
                 p if (p > c or p < c - 16) else c
                 for p, c in zip(proposed, cur_b)
             )
-            new_b = tuple(min(b, full) for b in new_b)
+            # Per-element hysteresis can break monotonicity (element k
+            # shrinks past element k-1's held value); re-impose it so
+            # the tuple the model clamps to is the tuple reported.
+            mono, cur = [], 16
+            for b in new_b:
+                cur = min(max(b, cur), full)
+                mono.append(cur)
+            new_b = tuple(mono)
             if new_b != self.tuned_bucket_steps:
                 self.tuned_bucket_steps = new_b
                 changed = True
