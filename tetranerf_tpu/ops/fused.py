@@ -69,9 +69,17 @@ class FusedMarch(NamedTuple):
     hit: jnp.ndarray  # bool[R]
     overflow: jnp.ndarray  # bool[R] — step bound hit while still marching
     stream: Optional[MarchStream] = None  # hops=1 path only
+    t0s: Optional[jnp.ndarray] = None  # f32[R, T] explicit entry distances
 
     @property
     def t0(self):
+        # The hops=1 march records each interval's entry distance
+        # explicitly (bit-identical to the derived chain for a
+        # contiguous march, and the only correct value once empty-space
+        # re-skips introduce gaps between consecutive intervals); the
+        # hops=2 path derives it from the exit chain.
+        if self.t0s is not None:
+            return self.t0s
         return jnp.concatenate(
             [self.t_entry[:, None], self.t1[:, :-1]], axis=1
         )
@@ -330,7 +338,7 @@ def march_features(
         t1s = jnp.moveaxis(t1s, 0, 1).reshape(num_rays, total)
         barys = jnp.moveaxis(barys, 0, 1).reshape(num_rays, total, 4)
         vidxs = jnp.moveaxis(vidxs, 0, 1).reshape(num_rays, total, 4)
-        poss = new_vids = None
+        poss = new_vids = t0s = None
     else:
         table = mesh.march_table
 
@@ -388,6 +396,10 @@ def march_features(
                 jnp.where(active[:, None], e[4], 0.0),
                 jnp.where(active[:, None], pos_cur, 0),
                 jnp.where(active, new_vid, 0),
+                # Explicit entry distance: equals the previous exit for
+                # a contiguous march (``t`` is the carried exit), and
+                # stays exact once re-skips introduce gaps.
+                jnp.where(active, t, jnp.inf),
             )
 
         pos0 = jnp.broadcast_to(
@@ -454,6 +466,7 @@ def march_features(
             jnp.zeros((num_rays, total, 4), jnp.float32),  # bary_exit
             jnp.zeros((num_rays, total, 4), jnp.int32),  # stream pos
             jnp.zeros((num_rays, total), jnp.int32),  # new vertex id
+            jnp.full((num_rays, total), jnp.inf, jnp.float32),  # t0
         )
         final_bufs = bufs
         perm = jnp.arange(num_rays, dtype=jnp.int32)
@@ -497,7 +510,7 @@ def march_features(
                 width = half
 
         done_final = done_full
-        cells, t1s, barys, poss, new_vids = (
+        cells, t1s, barys, poss, new_vids, t0s = (
             b[:, :max_steps] for b in final_bufs
         )
         vidxs = None
@@ -508,6 +521,8 @@ def march_features(
     cells, t1s, barys, t_entry = jax.lax.stop_gradient(
         (cells, t1s, barys, t_entry)
     )
+    if t0s is not None:
+        t0s = jax.lax.stop_gradient(t0s)
     valid = cells >= 0
     num_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
     hit = hit & (num_valid > 0)
@@ -556,6 +571,7 @@ def march_features(
         hit=hit,
         overflow=overflow,
         stream=stream,
+        t0s=t0s,
     )
 
 
@@ -685,6 +701,7 @@ def _slice_march(res: FusedMarch, idx, t: int) -> FusedMarch:
         hit=res.hit[idx],
         overflow=res.overflow[idx] | (num_valid < res.num_valid[idx]),
         stream=stream,
+        t0s=res.t0s[idx][:, :t] if res.t0s is not None else None,
     )
 
 
