@@ -724,6 +724,22 @@ class Trainer:
         observed = int(np.percentile(nv, cfg.occupancy_retune_percentile))
         cur = self.tuned_max_steps or cfg.max_intersected_triangles
         bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
+        if cfg.ray_buckets >= 2 and cfg.bucket_short_steps is None:
+            # With quantile bucketing the DEEPEST bucket shades at the
+            # main bound, so size it like the inner bounds: from the top
+            # quantile chunk's own percentile with the small bucket
+            # margin, instead of 1.5x the batch p99 on the coarse grid
+            # (which left the top bucket pinned at the config cap —
+            # [R, 256]-shaped streams/one-hots for a chunk whose p99 is
+            # ~180). Same exposure policy as every bucket bound: rays
+            # beyond it surface in ``overflow_rays`` and growth is
+            # accepted immediately at the next retune.
+            snv = np.sort(nv)
+            top = snv[snv.size * (cfg.ray_buckets - 1) // cfg.ray_buckets:]
+            bound = min(bound, max(16, _inner_bound(
+                np.percentile(top, cfg.occupancy_retune_percentile),
+                cfg.bucket_bound_margin,
+            )))
         changed = False
         if bound < cur - 16 or bound > cur:
             self.tuned_max_steps = bound
@@ -923,7 +939,14 @@ class Trainer:
 
         All chunks are DISPATCHED before any result is fetched — on a
         tunneled device a synchronous per-chunk loop pays a full
-        round-trip per chunk and dominates render time (measured ~4x)."""
+        round-trip per chunk and dominates render time (measured ~4x).
+
+        Every dispatch shards rays over the mesh's data axis, so the
+        chunk is rounded up to a multiple of it — callers (nerfstudio's
+        ``eval_num_rays_per_chunk``, viewer tiles) pick arbitrary
+        sizes."""
+        dp = int(self.device_mesh.shape.get("data", 1))
+        chunk = -(-int(chunk) // dp) * dp
         num = len(origins)
         pending = []
         for ci, i in enumerate(range(0, num, chunk)):
