@@ -68,6 +68,7 @@ class TetraNerfAdapterModel(_BaseModel):
         self.chunk = chunk
         self.num_samples = num_samples
         self.num_fine_samples = num_fine_samples
+        self._lpips = None
 
     # -- nerfstudio Model contract ------------------------------------
     def get_outputs(self, ray_bundle) -> Dict[str, "torch.Tensor"]:
@@ -124,6 +125,37 @@ class TetraNerfAdapterModel(_BaseModel):
             for k in chunks[0]
         }
         return {k: v.reshape(*lead, *v.shape[1:]) for k, v in out.items()}
+
+    def get_image_metrics_and_images(self, outputs, batch):
+        """``ns-eval``'s per-image hook (ref ``model.py:676-713``):
+        PSNR, nerfstudio-protocol SSIM (gaussian 11/1.5) and
+        skimage-protocol SSIM (uniform 7, sample covariance) via the
+        validated JAX implementations, plus LPIPS when weights are
+        available (otherwise omitted — the offline-weights constraint
+        record in docs/RESULTS.md)."""
+        import numpy as np
+        import torch
+
+        from .training import metrics as m
+
+        image = batch["image"].to(outputs["rgb"].device)
+        rgb = outputs["rgb"]
+        img_np = image.detach().cpu().numpy().astype(np.float32)
+        rgb_np = rgb.detach().cpu().numpy().astype(np.float32)
+        if self._lpips is None:
+            self._lpips = m.Lpips()
+        metrics_dict = m.compute_image_metrics(
+            rgb_np, img_np, lpips=self._lpips
+        )
+        # ns-eval's key names for the two SSIM protocols
+        # (ref model.py:699-707).
+        metrics_dict["nerfstudio_ssim"] = metrics_dict.pop("mipnerf_ssim")
+        images_dict = {
+            "img": torch.cat([image, rgb], dim=1),
+            "accumulation": outputs["accumulation"],
+            "depth": outputs["depth"],
+        }
+        return metrics_dict, images_dict
 
     # Render-only surface: the torch optimizer/loss hooks of the full
     # nerfstudio Model contract are intentionally unsupported (training
