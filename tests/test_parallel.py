@@ -59,6 +59,45 @@ def test_data_parallel_matches_single_device(ball_points):
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-4)
 
 
+def test_data_parallel_matches_single_device_flagship_path(ball_points):
+    """The FLAGSHIP code path — occupancy termination + K-bucket
+    quantile shading (argsort over the sharded ray axis + per-bucket
+    gathers + inverse-order reassembly) — must also match the 1-device
+    result under dp sharding; the plain test above covers only the
+    bucketless geometry."""
+    from tetranerf_tpu.geometry import build_mesh
+    from tetranerf_tpu.models import TetraNerf, TetrahedraNerfConfig
+    from tetranerf_tpu.training import Trainer, tetranerf_preset
+    from tetranerf_tpu.utils import sample_sphere_rays, sphere_ray_targets
+
+    mesh = build_mesh(ball_points)
+    rng = np.random.default_rng(0)
+    o, d = sample_sphere_rays(rng, 64, radius=3.0)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+
+    losses = {}
+    for ndev in (1, 8):
+        config = tetranerf_preset()
+        config.model = TetrahedraNerfConfig(
+            num_samples=8,
+            num_fine_samples=8,
+            max_intersected_triangles=48,
+            field_dim=8,
+            hidden_size=16,
+            compute_dtype="float32",
+            use_occupancy_field=True,
+            occupancy_retune_every=0,
+            ray_buckets=2,
+            bucket_adaptive_samples=True,
+        )
+        model = TetraNerf(config.model, mesh)
+        trainer = Trainer(config, model, mesh_devices=ndev)
+        m0 = trainer.train_step(batch)
+        m1 = trainer.train_step(batch)
+        losses[ndev] = (float(m0["loss"]), float(m1["loss"]))
+    np.testing.assert_allclose(losses[1], losses[8], rtol=1e-4)
+
+
 def test_model_parallel_matches_single_device(ball_points):
     """dp x tp (4x2 mesh, feature field sharded over its feature axis)
     must match the 1-device result."""
