@@ -70,6 +70,10 @@ def main():
                         "(-1 = preset, 0 = dense)")
     parser.add_argument("--remat", default=None,
                         help="remat_mlps override: auto/true/false")
+    parser.add_argument("--stream-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="field_stream_dtype override (bf16 stream "
+                        "rows, f32 gradient accumulation)")
     parser.add_argument("--warmup-steps", type=int, default=2600,
                         help="CAP on un-timed training steps before "
                         "measuring. Warmup exits early once the "
@@ -136,6 +140,8 @@ def main():
         config.model.remat_mlps = (
             "auto" if args.remat == "auto" else args.remat == "true"
         )
+    if args.stream_dtype is not None:
+        config.model.field_stream_dtype = args.stream_dtype
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 

@@ -187,6 +187,42 @@ def test_grad_stream_budget_matches_dense(ball_mesh, rng):
     assert np.abs(np.asarray(g_tiny)).sum() > 0
 
 
+def test_bf16_stream_close_to_f32(ball_mesh, rng):
+    """``stream_dtype='bfloat16'`` rounds the stream rows once in each
+    direction but must stay close to the f32 path — and the field
+    gradient must accumulate in f32 (finite, dtype f32, small relative
+    error vs dense f32; a bf16-accumulated scatter would diverge)."""
+    o, d = _rays(rng, 16)
+    field = jnp.asarray(
+        rng.normal(size=(ball_mesh.num_vertices, 4)).astype(np.float32)
+    )
+
+    def loss(f, stream_dtype):
+        fused = march_features(
+            ball_mesh, f, o, d, max_steps=64, stream_dtype=stream_dtype
+        )
+        nears, fars, _, _, ray_mask = ray_bounds(fused)
+        dist = jnp.linspace(0.1, 0.9, 8)[None, :] * (fars - nears)[
+            :, None
+        ] + nears[:, None]
+        feats, mask = sample_features(fused, dist, ray_mask)
+        return jnp.sum(feats**2), feats
+
+    (l32, f32v), g32 = jax.value_and_grad(loss, has_aux=True)(field, None)
+    (l16, f16v), g16 = jax.value_and_grad(loss, has_aux=True)(
+        field, "bfloat16"
+    )
+    assert g16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(f16v), np.asarray(f32v), atol=3e-2, rtol=3e-2
+    )
+    ref = np.abs(np.asarray(g32)).max()
+    np.testing.assert_allclose(
+        np.asarray(g16), np.asarray(g32), atol=3e-2 * max(ref, 1.0)
+    )
+    assert np.isfinite(np.asarray(g16)).all()
+
+
 def test_biased_warp_range_matches_compacted(ball_mesh, rng):
     """The range-based warp over uncompacted intervals (with a dropped
     behind-origin prefix) must equal the reference-style warp over the

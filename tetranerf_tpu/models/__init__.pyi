@@ -52,6 +52,7 @@ class TetrahedraNerfConfig:
     traversal_hops: int
     march_compaction: int
     grad_stream_budget_per_ray: Optional[int]
+    field_stream_dtype: str
     far_plane: float
     depth_method: Literal["median", "expected"]
     def __init__(
@@ -93,6 +94,7 @@ class TetrahedraNerfConfig:
         traversal_hops: int = ...,
         march_compaction: int = ...,
         grad_stream_budget_per_ray: Optional[int] = ...,
+        field_stream_dtype: str = ...,
         far_plane: float = ...,
         depth_method: str = ...,
     ) -> None: ...

@@ -188,6 +188,17 @@ class TetrahedraNerfConfig:
     at sigma/mean ~ 1/sqrt(R)); rays past the budget lose their field
     gradient for that step and are counted in the
     ``grad_stream_dropped_rays`` metric."""
+    field_stream_dtype: str = "float32"
+    """Dtype the endpoint-feature stream moves at (``"float32"`` |
+    ``"bfloat16"``). ``bfloat16`` halves the bytes of the two random-row
+    stream walls — the forward [R, T+4, F] vertex gather and the
+    backward's gradient-row scatter reads — while the [V, F] field
+    gradient still ACCUMULATES in f32 (``ops.fused.gather_rows_lowp``).
+    Field values round once to bf16 before the blend (which already
+    computes in bf16); per-row gradients round once before the f32
+    scatter-add. Pays only if those walls are row-BYTE-bound on the
+    target chip (``benchmarks/microbench_rowwidth.py`` is the decider);
+    ignored when ``grad_stream_budget_per_ray`` compaction is active."""
     far_plane: float = 1e3
     """Depth reported for rays that hit nothing (reference uses the
     collider's far plane, ``model.py:645-650``)."""

@@ -595,6 +595,11 @@ class TetraNerf:
             if train and cfg.grad_stream_budget_per_ray
             else None
         )
+        stream_dtype = (
+            None
+            if cfg.field_stream_dtype in (None, "float32")
+            else cfg.field_stream_dtype
+        )
         if cached_march is not None:
             res = cached_march._replace(
                 feats=endpoint_features(
@@ -602,6 +607,7 @@ class TetraNerf:
                     cached_march.stream,
                     counts=cached_march.num_valid + 4,
                     grad_budget=grad_budget,
+                    stream_dtype=stream_dtype,
                 )
             )
         else:
@@ -617,6 +623,7 @@ class TetraNerf:
                 compact_stages=cfg.march_compaction,
                 grad_stream_budget=grad_budget,
                 occ_depth_cap=occ_depth_cap,
+                stream_dtype=stream_dtype,
             )
         nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res)
 

@@ -39,6 +39,7 @@ def endpoint_features(
     stream: MarchStream,
     counts: Optional[ArrayLike] = ...,
     grad_budget: Optional[int] = ...,
+    stream_dtype: Optional[str] = ...,
 ) -> jax.Array: ...
 
 # ------------------------------------------------------------- traversal
@@ -79,6 +80,7 @@ def march_features(
     use_skip: bool = ...,
     grad_stream_budget: Optional[int] = ...,
     occ_depth_cap: Optional[ArrayLike] = ...,
+    stream_dtype: Optional[str] = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...

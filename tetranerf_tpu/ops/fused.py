@@ -137,6 +137,7 @@ def march_features(
     use_skip: bool = True,
     grad_stream_budget: Optional[int] = None,
     occ_depth_cap=None,
+    stream_dtype: Optional[str] = None,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -560,6 +561,7 @@ def march_features(
                 stream,
                 counts=num_valid + 4,
                 grad_budget=grad_stream_budget,
+                stream_dtype=stream_dtype,
             )
     return FusedMarch(
         cells=cells,
@@ -638,11 +640,46 @@ def _stream_gather_bwd(grad_budget, residuals, g):
 _stream_gather.defvjp(_stream_gather_fwd, _stream_gather_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_lowp(field, vids, dtype_name: str = "bfloat16"):
+    """``field.astype(dtype)[vids]`` whose VJP keeps the [V, F] field-
+    gradient ACCUMULATION in f32.
+
+    Both random-row walls of the stream path move half the bytes: the
+    forward gathers low-precision rows (one [V, F] cast per step, ~13 MB
+    at bench shapes — amortized over the ~1M-row gather), and the
+    backward's scatter-add reads low-precision gradient rows (the blend
+    kernel emits the cotangent in the primal's dtype, ``pallas_interp.
+    _blend_bwd``) while the convert into the f32 target fuses into the
+    scatter. A plain ``field.astype(bf16)[vids]`` under autodiff would
+    instead accumulate the scatter in bf16 — ~10-200 rows sum into each
+    vertex row, which bf16's 8 mantissa bits cannot carry."""
+    return field.astype(jnp.dtype(dtype_name))[jnp.maximum(vids, 0)]
+
+
+def _gather_rows_lowp_fwd(field, vids, dtype_name):
+    return gather_rows_lowp(field, vids, dtype_name), (vids, field.shape)
+
+
+def _gather_rows_lowp_bwd(dtype_name, residuals, g):
+    vids, shape = residuals
+    grad_field = (
+        jnp.zeros(shape, jnp.float32)
+        .at[jnp.maximum(vids, 0)]
+        .add(g.astype(jnp.float32))
+    )
+    return grad_field, None
+
+
+gather_rows_lowp.defvjp(_gather_rows_lowp_fwd, _gather_rows_lowp_bwd)
+
+
 def endpoint_features(
     field,
     stream: MarchStream,
     counts=None,
     grad_budget: Optional[int] = None,
+    stream_dtype: Optional[str] = None,
 ):
     """Interval-endpoint features from a march's vertex stream.
 
@@ -656,7 +693,10 @@ def endpoint_features(
     With ``counts`` (per-ray valid stream lengths, ``num_valid + 4``)
     and ``grad_budget`` (static total row budget), the backward scatter
     is compacted to the valid prefix rows only (see
-    :func:`_stream_gather`)."""
+    :func:`_stream_gather`). With ``stream_dtype`` (e.g. ``"bfloat16"``,
+    ``config.field_stream_dtype``) the stream rows move at low precision
+    in both directions while the field gradient still accumulates in f32
+    (:func:`gather_rows_lowp`); mutually exclusive with ``grad_budget``."""
     if grad_budget is not None and counts is not None:
         stream_field = _stream_gather(
             field,
@@ -664,6 +704,10 @@ def endpoint_features(
             jax.lax.stop_gradient(counts),
             int(grad_budget),
         )
+    elif stream_dtype is not None and jnp.dtype(stream_dtype) != jnp.dtype(
+        field.dtype
+    ):
+        stream_field = gather_rows_lowp(field, stream.vids, str(stream_dtype))
     else:
         stream_field = field[jnp.maximum(stream.vids, 0)]  # [R, T+4, F]
     return stream_blend(stream_field, stream.pos, stream.bary)

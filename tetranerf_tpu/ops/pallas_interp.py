@@ -181,7 +181,7 @@ def _blend_fwd_kernel(p0, p1, p2, p3, b0, b1, b2, b3, sf_ref, out_ref):
             sf_ref[r, :, :].astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, rb, body, 0)
@@ -199,13 +199,13 @@ def _blend_bwd_kernel(p0, p1, p2, p3, b0, b1, b2, b3, g_ref, gsf_ref):
             g_ref[r, :, :].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(gsf_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, rb, body, 0)
 
 
-def _run_blend(kernel, pos, bary, mat, n_out, interpret):
+def _run_blend(kernel, pos, bary, mat, n_out, interpret, out_dtype=None):
     num_rays, n_end = pos.shape[:2]
     n_in, feat = mat.shape[1], mat.shape[2]
     rb = _block_rays(num_rays)
@@ -223,7 +223,9 @@ def _run_blend(kernel, pos, bary, mat, n_out, interpret):
         out_specs=pl.BlockSpec(
             (rb, n_out, feat), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((num_rays, n_out, feat), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_rays, n_out, feat), out_dtype or jnp.float32
+        ),
         interpret=interpret,
     )(*args, mat)
 
@@ -246,13 +248,23 @@ def stream_blend(stream_field, pos, bary, interpret=None):
 
 def _blend_fwd(stream_field, pos, bary, interpret):
     out = stream_blend(stream_field, pos, bary, interpret)
-    return out, (pos, bary, stream_field.shape[1])
+    # The primal's dtype rides the residuals as a 0-size array (a bare
+    # np.dtype is not a valid JAX residual leaf).
+    dtype_tok = jnp.zeros((0,), stream_field.dtype)
+    return out, (pos, bary, stream_field.shape[1], dtype_tok)
 
 
 def _blend_bwd(interpret, residuals, g):
-    pos, bary, n_stream = residuals
+    # The cotangent is emitted in the PRIMAL's dtype — both a custom_vjp
+    # requirement and the point of a bf16 stream (``ops/fused.
+    # gather_rows_lowp``): the kernel writes half the gradient-row bytes
+    # and the downstream field scatter reads them at half width.
+    pos, bary, n_stream, dtype_tok = residuals
     interpret = not _on_tpu() if interpret is None else interpret
-    gsf = _run_blend(_blend_bwd_kernel, pos, bary, g, n_stream, interpret)
+    gsf = _run_blend(
+        _blend_bwd_kernel, pos, bary, g, n_stream, interpret,
+        out_dtype=dtype_tok.dtype,
+    )
     return gsf, None, None
 
 
