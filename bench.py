@@ -70,6 +70,9 @@ def main():
                         "(-1 = preset, 0 = dense)")
     parser.add_argument("--remat", default=None,
                         help="remat_mlps override: auto/true/false")
+    parser.add_argument("--occ-cap-percentile", type=float, default=None,
+                        help="occ_cap_percentile override (termination "
+                        "depth-cap calibration percentile)")
     parser.add_argument("--stream-dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="field_stream_dtype override (bf16 stream "
@@ -142,6 +145,8 @@ def main():
         )
     if args.stream_dtype is not None:
         config.model.field_stream_dtype = args.stream_dtype
+    if args.occ_cap_percentile is not None:
+        config.model.occ_cap_percentile = args.occ_cap_percentile
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 

@@ -41,6 +41,7 @@ class TetrahedraNerfConfig:
     skip_grid_eps: float
     occupancy_retune_mode: Literal["transmittance", "march"]
     occupancy_retune_percentile: float
+    occ_cap_percentile: float
     compute_dtype: str
     interp_mode: str
     remat_mlps: Union[bool, Literal["auto"]]
@@ -83,6 +84,7 @@ class TetrahedraNerfConfig:
         skip_grid_eps: float = ...,
         occupancy_retune_mode: Literal["transmittance", "march"] = ...,
         occupancy_retune_percentile: float = ...,
+        occ_cap_percentile: float = ...,
         compute_dtype: str = ...,
         interp_mode: str = ...,
         remat_mlps: Union[bool, Literal["auto"]] = ...,

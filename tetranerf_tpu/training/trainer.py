@@ -715,7 +715,8 @@ class Trainer:
         est_at = np.asarray(est_at)
         floor = float(-np.log(cfg.occupancy_threshold))
         self._occ_cap = max(
-            floor, 1.1 * float(np.percentile(est_at, 99.9))
+            floor,
+            1.1 * float(np.percentile(est_at, cfg.occ_cap_percentile)),
         )
         self._occ_cap_dev = jax.device_put(
             jnp.float32(self._occ_cap), self._rep
