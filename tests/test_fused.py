@@ -290,9 +290,11 @@ def test_occupancy_early_termination(ball_mesh):
     )
 
 
-def test_compaction_bit_identical(ball_mesh):
+@pytest.mark.parametrize("ratio,stages", [(0.5, 2), (0.7, 4)])
+def test_compaction_bit_identical(ball_mesh, ratio, stages):
     """Per-ray compaction must reproduce the uncompacted march exactly:
-    same intervals, stream, features, hit/overflow flags."""
+    same intervals, stream, features, hit/overflow flags — for ANY
+    stage schedule (halving and finer ratios alike)."""
     rng = np.random.default_rng(3)
     o, d = _rays(rng, 256)
     # Mix in rays that miss the hull so done-at-start rows get compacted.
@@ -305,7 +307,8 @@ def test_compaction_bit_identical(ball_mesh):
     )
     base = march_features(ball_mesh, field, o, d, max_steps=64)
     comp = march_features(
-        ball_mesh, field, o, d, max_steps=64, compact_stages=2
+        ball_mesh, field, o, d, max_steps=64, compact_stages=stages,
+        compact_ratio=ratio,
     )
     np.testing.assert_array_equal(np.asarray(base.cells), np.asarray(comp.cells))
     np.testing.assert_array_equal(np.asarray(base.t1), np.asarray(comp.t1))

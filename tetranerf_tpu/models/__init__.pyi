@@ -52,6 +52,7 @@ class TetrahedraNerfConfig:
     bucket_adaptive_samples: bool
     traversal_hops: int
     march_compaction: int
+    march_compact_ratio: float
     grad_stream_budget_per_ray: Optional[int]
     field_stream_dtype: str
     far_plane: float
@@ -95,6 +96,7 @@ class TetrahedraNerfConfig:
         bucket_adaptive_samples: bool = ...,
         traversal_hops: int = ...,
         march_compaction: int = ...,
+        march_compact_ratio: float = ...,
         grad_stream_budget_per_ray: Optional[int] = ...,
         field_stream_dtype: str = ...,
         far_plane: float = ...,

@@ -189,6 +189,14 @@ class TetrahedraNerfConfig:
     dense prefix and the march continues at half width. Bit-identical
     output; converts per-ray early termination (occupancy, short chords,
     missed rays) into wall-clock. 0 disables."""
+    march_compact_ratio: float = 0.5
+    """Width ratio between consecutive compaction stages (rounded to
+    multiples of 128). 0.5 = halving. Ratios like 0.7 compact earlier
+    and more often — the march pays ``width`` rows per step while only
+    ``active`` rays live, so a finer staircase hugs the alive curve at
+    the cost of one more while_loop per stage in the executable (raise
+    ``march_compaction`` accordingly: stages to reach a floor w_min
+    ~= log(w_min/num_rays)/log(ratio))."""
     grad_stream_budget_per_ray: Optional[int] = None
     """Compact the backward field scatter to each ray's VALID stream
     prefix, with a flat row budget of ``budget_per_ray * num_rays``

@@ -503,6 +503,7 @@ class TetraNerf:
                 use_occupancy=cfg.use_occupancy_field,
                 occ_threshold=cfg.occupancy_threshold,
                 compact_stages=cfg.march_compaction,
+                compact_ratio=cfg.march_compact_ratio,
                 occ_depth_cap=occ_depth_cap,
             )
         if res.stream is None:
@@ -621,6 +622,7 @@ class TetraNerf:
                 use_occupancy=cfg.use_occupancy_field,
                 occ_threshold=cfg.occupancy_threshold,
                 compact_stages=cfg.march_compaction,
+                compact_ratio=cfg.march_compact_ratio,
                 grad_stream_budget=grad_budget,
                 occ_depth_cap=occ_depth_cap,
                 stream_dtype=stream_dtype,

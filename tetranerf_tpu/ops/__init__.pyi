@@ -81,6 +81,7 @@ def march_features(
     grad_stream_budget: Optional[int] = ...,
     occ_depth_cap: Optional[ArrayLike] = ...,
     stream_dtype: Optional[str] = ...,
+    compact_ratio: float = ...,
 ) -> FusedMarch: ...
 def ray_bounds(
     res: FusedMarch, near: float = ...

@@ -138,6 +138,7 @@ def march_features(
     grad_stream_budget: Optional[int] = None,
     occ_depth_cap=None,
     stream_dtype: Optional[str] = None,
+    compact_ratio: float = 0.5,
 ) -> FusedMarch:
     """March rays, emitting sorted intervals and endpoint features.
 
@@ -165,12 +166,17 @@ def march_features(
     so training before the first occupancy update is exact.
 
     ``compact_stages`` (hops=1 only) enables per-ray compaction: each
-    time at most half the rays remain active, they are packed into a
-    dense prefix and the march continues at half width, so total gather
-    work tracks the per-ray step distribution instead of the batch max.
-    The result is bit-identical to the uncompacted march (stages carry
-    full row history and are scattered back). This is what converts
-    occupancy/early termination into wall-clock on a SIMD machine.
+    time at most ``compact_ratio`` of the current width remains active,
+    the active rays are packed into a dense prefix and the march
+    continues at the narrower width, so total gather work tracks the
+    per-ray step distribution instead of the batch max. The result is
+    bit-identical to the uncompacted march (stages carry full row
+    history and are scattered back) for ANY schedule. This is what
+    converts occupancy/early termination into wall-clock on a SIMD
+    machine. ``compact_ratio`` trades staircase overhead (the march
+    pays ``width`` while only ``active`` rays live) against stage count
+    — each stage is one more while_loop in the executable; widths are
+    rounded to multiples of 128 for tiling.
 
     ``use_skip`` (with ``use_occupancy`` and a mesh carrying a
     ``skip_table``, see :mod:`tetranerf_tpu.ops.skip_grid`) sphere-traces
@@ -455,11 +461,14 @@ def march_features(
         # exact uncompacted result. Rays dropped while still active
         # (budget exhausted mid-cascade) keep done=False and surface in
         # ``overflow``.
-        n_stages = 0
-        width = num_rays
-        while n_stages < compact_stages and width >= 2 * max(chunk, 64):
-            n_stages += 1
-            width //= 2
+        widths = [num_rays]
+        while len(widths) - 1 < compact_stages:
+            nxt = int(widths[-1] * compact_ratio)
+            nxt = max(nxt // 128 * 128, max(chunk, 64))
+            if nxt >= widths[-1]:
+                break
+            widths.append(nxt)
+        n_stages = len(widths) - 1
 
         bufs = (
             jnp.full((num_rays, total), -1, jnp.int32),  # cells
@@ -473,7 +482,6 @@ def march_features(
         perm = jnp.arange(num_rays, dtype=jnp.int32)
         done_full = state[2]
         i = jnp.int32(0)
-        width = num_rays
         for s in range(n_stages + 1):
             if s == n_stages:
 
@@ -482,12 +490,12 @@ def march_features(
                     return (i < n_chunks) & ~jnp.all(st[2])
 
             else:
-                half = width // 2
+                nxt = widths[s + 1]
 
-                def cond(carry, half=half):
+                def cond(carry, nxt=nxt):
                     i, _, st, _ = carry
                     active = jnp.sum(~st[2])
-                    return (i < n_chunks) & (active > half)
+                    return (i < n_chunks) & (active > nxt)
 
             i, consts, state, bufs = jax.lax.while_loop(
                 cond, body, (i, consts, state, bufs)
@@ -501,14 +509,13 @@ def march_features(
                 )
                 done_full = done_full.at[perm].set(state[2])
             if s < n_stages:
-                half = width // 2
+                nxt = widths[s + 1]
                 order = jnp.argsort(state[2].astype(jnp.int32), stable=True)
-                take = order[:half]
+                take = order[:nxt]
                 perm = perm[take]
                 consts = tuple(a[take] for a in consts)
                 state = tuple(a[take] for a in state)
                 bufs = tuple(b[take] for b in bufs)
-                width = half
 
         done_final = done_full
         cells, t1s, barys, poss, new_vids, t0s = (

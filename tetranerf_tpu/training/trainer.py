@@ -1019,6 +1019,7 @@ class Trainer:
                     use_occupancy=cfg.use_occupancy_field,
                     occ_threshold=cfg.occupancy_threshold,
                     compact_stages=cfg.march_compaction,
+                    compact_ratio=cfg.march_compact_ratio,
                     occ_depth_cap=occ_cap,
                 )
 
