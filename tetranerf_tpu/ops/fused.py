@@ -437,14 +437,19 @@ def march_features(
             i, consts, state, bufs = carry
             xs = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
             (consts, state), outs = jax.lax.scan(step, (consts, state), xs)
-            # outs: [chunk, W, ...] -> [W, chunk, ...] written at column
-            # i*chunk of each buffer.
+            # Buffers are STEP-major ([total, W, ...]): the scan's
+            # [chunk, W, ...] block lands with one contiguous
+            # dynamic_update_slice and NO per-chunk transpose — the
+            # [chunk, W] -> [W, chunk] relayouts cost ~1.4 ms/step at
+            # [8K, 256] (4 Mosaic sublane/lane swaps per chunk, traced);
+            # one big [total, W] -> [W, total] transpose per march pays
+            # the same bytes at full-tile efficiency instead.
             start = i * chunk
             bufs = tuple(
                 jax.lax.dynamic_update_slice(
                     buf,
-                    jnp.moveaxis(o, 0, 1).astype(buf.dtype),
-                    (0, start) + (0,) * (buf.ndim - 2),
+                    o.astype(buf.dtype),
+                    (start,) + (0,) * (buf.ndim - 1),
                 )
                 for buf, o in zip(bufs, outs)
             )
@@ -471,12 +476,12 @@ def march_features(
         n_stages = len(widths) - 1
 
         bufs = (
-            jnp.full((num_rays, total), -1, jnp.int32),  # cells
-            jnp.full((num_rays, total), jnp.inf, jnp.float32),  # t1
-            jnp.zeros((num_rays, total, 4), jnp.float32),  # bary_exit
-            jnp.zeros((num_rays, total, 4), jnp.int32),  # stream pos
-            jnp.zeros((num_rays, total), jnp.int32),  # new vertex id
-            jnp.full((num_rays, total), jnp.inf, jnp.float32),  # t0
+            jnp.full((total, num_rays), -1, jnp.int32),  # cells
+            jnp.full((total, num_rays), jnp.inf, jnp.float32),  # t1
+            jnp.zeros((total, num_rays, 4), jnp.float32),  # bary_exit
+            jnp.zeros((total, num_rays, 4), jnp.int32),  # stream pos
+            jnp.zeros((total, num_rays), jnp.int32),  # new vertex id
+            jnp.full((total, num_rays), jnp.inf, jnp.float32),  # t0
         )
         final_bufs = bufs
         perm = jnp.arange(num_rays, dtype=jnp.int32)
@@ -505,7 +510,7 @@ def march_features(
                 done_full = state[2]
             else:
                 final_bufs = tuple(
-                    fb.at[perm].set(b) for fb, b in zip(final_bufs, bufs)
+                    fb.at[:, perm].set(b) for fb, b in zip(final_bufs, bufs)
                 )
                 done_full = done_full.at[perm].set(state[2])
             if s < n_stages:
@@ -515,11 +520,12 @@ def march_features(
                 perm = perm[take]
                 consts = tuple(a[take] for a in consts)
                 state = tuple(a[take] for a in state)
-                bufs = tuple(b[take] for b in bufs)
+                bufs = tuple(b[:, take] for b in bufs)
 
         done_final = done_full
+        # One ray-major relayout per buffer (see the body() comment).
         cells, t1s, barys, poss, new_vids, t0s = (
-            b[:, :max_steps] for b in final_bufs
+            jnp.moveaxis(b[:max_steps], 0, 1) for b in final_bufs
         )
         vidxs = None
 
