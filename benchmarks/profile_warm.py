@@ -61,6 +61,10 @@ def main():
                         "ray_buckets=K for K-1 bounds)")
     p.add_argument("--rays", type=int, default=None,
                    help="rays per batch (default: the snapshot's)")
+    p.add_argument("--recalibrate", action="store_true",
+                   help="re-run the transmittance retune after restore "
+                        "(re-derives the termination cap + bounds under "
+                        "the overridden config, e.g. occ_cap_percentile)")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -79,6 +83,8 @@ def main():
             int(b) for b in args.buckets.split(",")
         )
         trainer._build_steps()
+    if args.recalibrate:
+        trainer.retune_with_transmittance(make_batch())
     print(
         f"# warm state: bound={trainer.tuned_max_steps} "
         f"buckets={trainer.tuned_bucket_steps} "
