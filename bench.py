@@ -70,6 +70,10 @@ def main():
                         "(-1 = preset, 0 = dense)")
     parser.add_argument("--remat", default=None,
                         help="remat_mlps override: auto/true/false")
+    parser.add_argument("--compact-ratio", type=float, default=None,
+                        help="march_compact_ratio override")
+    parser.add_argument("--compact-stages", type=int, default=None,
+                        help="march_compaction override")
     parser.add_argument("--occ-cap-percentile", type=float, default=None,
                         help="occ_cap_percentile override (termination "
                         "depth-cap calibration percentile)")
@@ -147,6 +151,10 @@ def main():
         config.model.field_stream_dtype = args.stream_dtype
     if args.occ_cap_percentile is not None:
         config.model.occ_cap_percentile = args.occ_cap_percentile
+    if args.compact_ratio is not None:
+        config.model.march_compact_ratio = args.compact_ratio
+    if args.compact_stages is not None:
+        config.model.march_compaction = args.compact_stages
     model = TetraNerf(config.model, mesh)
     trainer = Trainer(config, model, point_colors=colors)
 
