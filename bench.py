@@ -215,14 +215,16 @@ def main():
             # A bound pinned at the cap (None) is also a steady state —
             # but only trust it once the EMA has genuinely sharpened
             # (the crossings collapse late; see --warmup-steps help).
-            # A retuned main bound OR retuned bucket bounds that hold 3
-            # retunes mark the steady state (on scenes whose crossing
-            # tail pins the main bound at the cap, the bucket bounds
-            # are the signal that the EMA has sharpened).
-            retuned = (
-                bound_history[-1][0] is not None
-                or bound_history[-1][1] is not None
-            )
+            # With bucketing the MAIN bound (the deepest bucket's, sized
+            # from the top quantile chunk) is the LAST statistic to
+            # come off the cap — bucket bounds stabilizing first is not
+            # yet the steady state (measured: exit at 1280 steps with
+            # bound=None vs the true steady bound=224 by 2000); require
+            # it retuned, with the long-stop below covering scenes whose
+            # crossing tail genuinely pins the cap.
+            retuned = bound_history[-1][0] is not None
+            if config.model.ray_buckets < 2:
+                retuned = retuned or bound_history[-1][1] is not None
             if not args.no_occupancy and (
                 (i + 1 >= args.min_warmup and retuned and stable(3))
                 or (i + 1 >= 1536 and stable(6))

@@ -55,25 +55,47 @@ from ..utils.shapes import (  # noqa: E402
 )
 
 
+def _quantile_bucket_stats(
+    nv: np.ndarray, k_buckets: int, percentile: float
+) -> tuple:
+    """Raw per-chunk statistics for quantile-bucketed shading: rays
+    sort by crossing count and split into K equal buckets; chunk k's
+    statistic is its retune-percentile crossing count (floats, no
+    margin/grid — margins apply after cross-retune smoothing)."""
+    snv = np.sort(nv)
+    return tuple(
+        float(np.percentile(
+            snv[snv.size * k // k_buckets : snv.size * (k + 1) // k_buckets],
+            percentile,
+        ))
+        for k in range(k_buckets)
+    )
+
+
+def _bounds_from_stats(stats, full: int, margin: float = 1.15) -> tuple:
+    """Inner bounds (len ``K - 1``) from the first K-1 chunk statistics:
+    small margin on a fine (multiple-of-8) grid — see
+    ``utils.shapes.inner_bound`` for why the main bound's
+    1.5x/coarse-grid policy is wrong here — clamped to the full bound
+    and forced nondecreasing."""
+    inner, cur = [], 16
+    for s in stats[:-1]:
+        b = _inner_bound(s, margin)
+        cur = min(max(b, cur), full)
+        inner.append(cur)
+    return tuple(inner)
+
+
 def _quantile_bucket_bounds(
     nv: np.ndarray, k_buckets: int, full: int, percentile: float,
     margin: float = 1.15,
 ) -> tuple:
-    """Inner bounds (len ``k_buckets - 1``) for quantile-bucketed
-    shading: rays sort by crossing count and split into K equal
-    buckets, so bucket k's bound is sized from ITS chunk of the sorted
-    probe distribution at the retune percentile, with a small margin on
-    a fine (multiple-of-8) grid — see ``utils.shapes.inner_bound`` for
-    why the main bound's 1.5x/coarse-grid policy is wrong here —
-    clamped to the full bound and forced nondecreasing."""
-    snv = np.sort(nv)
-    inner, cur = [], 16
-    for k in range(k_buckets - 1):
-        chunk = snv[snv.size * k // k_buckets : snv.size * (k + 1) // k_buckets]
-        b = _inner_bound(np.percentile(chunk, percentile), margin)
-        cur = min(max(b, cur), full)
-        inner.append(cur)
-    return tuple(inner)
+    """Single-probe convenience: ``_bounds_from_stats`` of
+    ``_quantile_bucket_stats`` (the retune smooths stats across probes
+    instead of calling this directly)."""
+    return _bounds_from_stats(
+        _quantile_bucket_stats(nv, k_buckets, percentile), full, margin
+    )
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -722,7 +744,24 @@ class Trainer:
             jnp.float32(self._occ_cap), self._rep
         )
         self._march_version += 1  # cap change alters march termination
-        observed = int(np.percentile(nv, cfg.occupancy_retune_percentile))
+        # Cross-retune smoothing: every statistic below is taken as the
+        # elementwise MAX over the last 3 probes. A single deep probe
+        # still GROWS any bound immediately (truncation must self-heal),
+        # but a shrink needs 3 consecutive probes to agree — without
+        # this, batch-sampling jitter of the per-chunk percentiles
+        # oscillates bounds across grid values, and every flip is a
+        # fresh static shape (a recompile) in a long run.
+        raw = (
+            float(np.percentile(nv, cfg.occupancy_retune_percentile)),
+        ) + _quantile_bucket_stats(
+            nv, max(cfg.ray_buckets, 1), cfg.occupancy_retune_percentile
+        )
+        hist = getattr(self, "_retune_stats", [])
+        hist = ([h for h in hist if len(h) == len(raw)] + [raw])[-3:]
+        self._retune_stats = hist
+        smoothed = tuple(max(col) for col in zip(*hist))
+        observed = int(smoothed[0])
+        chunk_stats = smoothed[1:]
         cur = self.tuned_max_steps or cfg.max_intersected_triangles
         bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
         if cfg.ray_buckets >= 2 and cfg.bucket_short_steps is None:
@@ -735,11 +774,8 @@ class Trainer:
             # ~180). Same exposure policy as every bucket bound: rays
             # beyond it surface in ``overflow_rays`` and growth is
             # accepted immediately at the next retune.
-            snv = np.sort(nv)
-            top = snv[snv.size * (cfg.ray_buckets - 1) // cfg.ray_buckets:]
             bound = min(bound, max(16, _inner_bound(
-                np.percentile(top, cfg.occupancy_retune_percentile),
-                cfg.bucket_bound_margin,
+                chunk_stats[-1], cfg.bucket_bound_margin
             )))
         changed = False
         if bound < cur - 16 or bound > cur:
@@ -754,9 +790,8 @@ class Trainer:
             # only a meaningful shrink — percentile jitter across
             # retunes would otherwise oscillate bounds across grid
             # values, each a recompile.
-            proposed = _quantile_bucket_bounds(
-                nv, cfg.ray_buckets, full, cfg.occupancy_retune_percentile,
-                margin=cfg.bucket_bound_margin,
+            proposed = _bounds_from_stats(
+                chunk_stats, full, margin=cfg.bucket_bound_margin
             )
             cur_b = self.tuned_bucket_steps or proposed
             new_b = tuple(
