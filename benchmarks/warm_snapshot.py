@@ -155,6 +155,12 @@ def restore_trainer(path: str, overrides=None, rays=None):
     trainer._tuned = True  # skip the cold probe
     trainer.tuned_max_steps = meta["tuned_max_steps"]
     bs = meta["tuned_bucket_steps"]
+    k = trainer.model.config.ray_buckets
+    if bs and len(bs) != max(k - 1, 0):
+        # Snapshot tuned at a different ray_buckets: its inner-bound
+        # tuple cannot drive this K (pair the override with
+        # profile_warm --recalibrate to re-derive K-1 bounds).
+        bs = None
     trainer.tuned_bucket_steps = tuple(bs) if bs else None
     trainer._occ_cap = meta["occ_cap"]
     trainer._occ_cap_dev = jax.device_put(

@@ -794,6 +794,11 @@ class Trainer:
                 chunk_stats, full, margin=cfg.bucket_bound_margin
             )
             cur_b = self.tuned_bucket_steps or proposed
+            if len(cur_b) != len(proposed):
+                # Restored/stale bounds from a different ray_buckets
+                # (e.g. a warm snapshot re-driven at a new K): the old
+                # tuple cannot seed hysteresis elementwise.
+                cur_b = proposed
             new_b = tuple(
                 p if (p > c or p < c - 16) else c
                 for p, c in zip(proposed, cur_b)
