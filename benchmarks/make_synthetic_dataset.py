@@ -60,12 +60,25 @@ def main():
     p.add_argument("--test", type=int, default=8)
     p.add_argument("--points", type=int, default=100_000)
     p.add_argument("--radius", type=float, default=2.5)
+    p.add_argument(
+        "--scene", default="sphere", choices=["sphere", "hard"],
+        help="'hard' = textured spheres + thin occluder + view-dependent "
+        "shading (the discriminative quality benchmark)",
+    )
     args = p.parse_args()
 
     from PIL import Image
 
+    from tetranerf_tpu import utils as synth
     from tetranerf_tpu.geometry import save_tetrahedra, triangulate
-    from tetranerf_tpu.utils import make_sphere_scene, sphere_ray_targets
+
+    if args.scene == "hard":
+        make_scene, ray_targets = synth.make_hard_scene, synth.hard_ray_targets
+    else:
+        make_scene, ray_targets = (
+            synth.make_sphere_scene,
+            synth.sphere_ray_targets,
+        )
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(0)
@@ -83,7 +96,7 @@ def main():
             )
             c2w = look_at(pos)
             o, d = camera_rays(c2w, args.side, camera_angle_x)
-            rgb = sphere_ray_targets(o, d).reshape(args.side, args.side, 3)
+            rgb = ray_targets(o, d).reshape(args.side, args.side, 3)
             name = f"{split}_{k:03d}"
             Image.fromarray(
                 (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
@@ -104,7 +117,7 @@ def main():
     make_split("train", args.train, 0.0)
     make_split("test", args.test, 0.37)
 
-    points, colors = make_sphere_scene(args.points, seed=0)
+    points, colors = make_scene(args.points, seed=0)
     cells = triangulate(points)
     save_tetrahedra(
         os.path.join(args.out, "tetra.npz"),

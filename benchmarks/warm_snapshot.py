@@ -40,6 +40,10 @@ def build_trainer(scene: str, points: int, overrides=None):
         make_scene = synth.make_camera_scene
         sample_rays = synth.sample_camera_rays
         ray_targets = synth.camera_ray_targets
+    elif scene == "hard":
+        make_scene = synth.make_hard_scene
+        sample_rays = synth.sample_hard_rays
+        ray_targets = synth.hard_ray_targets
     else:
         make_scene = synth.make_sphere_scene
         sample_rays = synth.sample_sphere_rays
@@ -67,7 +71,9 @@ def build_trainer(scene: str, points: int, overrides=None):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/warm_sphere")
-    p.add_argument("--scene", default="sphere", choices=["sphere", "camera"])
+    p.add_argument(
+        "--scene", default="sphere", choices=["sphere", "camera", "hard"]
+    )
     p.add_argument("--points", type=int, default=100_000)
     p.add_argument("--rays", type=int, default=8192)
     p.add_argument("--warmup-steps", type=int, default=2600)

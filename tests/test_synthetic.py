@@ -15,8 +15,11 @@ from tetranerf_tpu.models import TetraNerf, TetrahedraNerfConfig
 from tetranerf_tpu.training import Trainer, tetranerf_preset
 from tetranerf_tpu.utils import (
     camera_ray_targets,
+    hard_ray_targets,
     make_camera_scene,
+    make_hard_scene,
     sample_camera_rays,
+    sample_hard_rays,
 )
 
 
@@ -39,6 +42,101 @@ def test_camera_rays_hit_objects_and_targets_are_colored():
     assert rgb.shape == (256, 3)
     hits = (rgb < 0.999).any(axis=1)
     assert hits.mean() > 0.3  # aimed rays frequently hit an object
+
+
+def test_hard_scene_structure():
+    points, colors = make_hard_scene(2000, seed=0)
+    assert points.shape == (len(colors), 3)
+    assert colors.shape[1] == 4 and colors.dtype == np.uint8
+    r = np.linalg.norm(points, axis=1)
+    assert (r > 4.0).sum() >= 0.03 * len(points)  # background stretchers
+    assert (r < 3.0).sum() >= 0.85 * len(points)  # object surfaces
+    # The thin plate is represented: points within its slab.
+    from tetranerf_tpu.utils.synthetic import _HARD_PLATE
+
+    lo, hi = _HARD_PLATE
+    on_plate = np.all((points >= lo - 1e-6) & (points <= hi + 1e-6), axis=1)
+    assert on_plate.sum() > 0.02 * len(points)
+
+
+def test_hard_targets_are_view_dependent_and_high_frequency():
+    rng = np.random.default_rng(0)
+    o, d = sample_hard_rays(rng, 512)
+    rgb = hard_ray_targets(o, d)
+    assert rgb.shape == (512, 3)
+    hits = (rgb < 0.999).any(axis=1)
+    assert hits.mean() > 0.3
+    # View dependence: the same surface point seen from two directions
+    # shades differently (specular lobe). Construct two rays through a
+    # known sphere point from different view angles.
+    from tetranerf_tpu.utils.synthetic import _HARD_SPHERES
+
+    c, r = _HARD_SPHERES[0]
+    n = np.array([0.3, 0.2, 0.95])
+    n /= np.linalg.norm(n)
+    p = c + r * n
+    eyes = np.array([p + 2.0 * n, p + 2.0 * (n + np.array([0.9, 0, 0]))])
+    dirs = p[None] - eyes
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    two = hard_ray_targets(eyes, dirs)
+    assert np.abs(two[0] - two[1]).max() > 0.02
+    # High-frequency texture: nearby surface points differ measurably
+    # (the smooth scenes' albedo is ~constant at this separation).
+    th = np.linspace(0.0, 2 * np.pi, 256, endpoint=False)
+    ring = np.stack(
+        [np.cos(th), np.sin(th), np.zeros_like(th)], axis=-1
+    )
+    pts = c[None] + r * ring
+    eyes = pts + np.array([0.0, 0.0, 2.0])
+    dirs = pts - eyes
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    along = hard_ray_targets(eyes, dirs)
+    # Total variation along a surface ring ~1.1 units long: the
+    # tanh-sharpened 14 rad/unit texture must produce many sharp
+    # transitions (the smooth scenes' albedo varies ~10x less here).
+    deltas = np.abs(np.diff(along, axis=0)).sum(axis=1)
+    assert deltas.sum() > 3.0 and deltas.max() > 0.05
+
+
+def test_hard_plate_occludes():
+    # A ray straight down through the plate's footprint must hit the
+    # plate (not pass through to the background/sphere behind).
+    from tetranerf_tpu.utils.synthetic import _HARD_PLATE
+
+    lo, hi = _HARD_PLATE
+    center = (lo + hi) / 2.0
+    o = np.array([[center[0], center[1], 2.0]])
+    d = np.array([[0.0, 0.0, -1.0]])
+    rgb_with = hard_ray_targets(o, d)
+    # The same ray nudged outside the footprint sees something else.
+    o2 = np.array([[hi[0] + 0.5, hi[1] + 0.5, 2.0]])
+    rgb_without = hard_ray_targets(o2, d)
+    assert not np.allclose(rgb_with, rgb_without, atol=1e-3)
+
+
+def test_train_step_runs_on_hard_scene():
+    points, colors = make_hard_scene(800, seed=1)
+    mesh = build_mesh(points)
+    config = tetranerf_preset()
+    config.model = TetrahedraNerfConfig(
+        num_samples=8,
+        num_fine_samples=8,
+        max_intersected_triangles=64,
+        field_dim=8,
+        hidden_size=16,
+        compute_dtype="float32",
+        use_occupancy_field=True,
+        occupancy_retune_every=0,
+        ray_buckets=2,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(2)
+    o, d = sample_hard_rays(rng, 64)
+    m = trainer.train_step(
+        {"origins": o, "directions": d, "rgb": hard_ray_targets(o, d)}
+    )
+    assert np.isfinite(float(m["loss"]))
 
 
 def test_train_step_runs_on_camera_scene():

@@ -249,16 +249,29 @@ def compute_planes(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
     edge = np.linalg.norm(v[:, 1:] - v[:, :1], axis=-1).max(axis=-1)
     singular = np.abs(dets) <= 1e-14 * np.maximum(edge, 1e-30) ** 3
     if np.any(singular):
-        rng = np.random.default_rng(0)  # deterministic across runs
+        # The jitter is PER-VERTEX (a deterministic hash of the global
+        # vertex index), not per-cell: two adjacent singular cells then
+        # regularize their shared face with the SAME jittered vertex
+        # positions, so their face planes agree and a ray forwarded
+        # A->B cannot be forwarded straight back B->A (the ping-pong a
+        # per-cell-random jitter allows, which burned march steps and
+        # surfaced as spurious overflow on cospherical inputs). The
+        # jittered complex is a consistent global geometry, so
+        # forwarding between singular cells is acyclic by construction.
         m = m.copy()
         idx = np.nonzero(singular)[0]
+        sc = float(np.abs(v).max()) or 1.0
         eps = 1e-7
         for _ in range(8):
-            jit = rng.standard_normal((len(idx), 3, 4))
-            m[idx, :3, :] = m[idx, :3, :] + (
-                eps * np.maximum(edge[idx], 1e-30)[:, None, None] * jit
-            )
-            still = np.abs(np.linalg.det(m[idx])) <= (
+            vid = cells[idx]  # [N, 4] global vertex ids
+            jit = np.stack(
+                [_hash_unit(vid, salt) for salt in range(3)], axis=-1
+            )  # [N, 4, 3] in [-1, 1], a pure function of vertex id
+            vj = v[idx] + eps * sc * jit
+            mj = np.concatenate([vj, np.ones_like(vj[..., :1])], axis=-1)
+            mj = np.swapaxes(mj, -1, -2)
+            m[idx] = mj
+            still = np.abs(np.linalg.det(mj)) <= (
                 1e-14 * np.maximum(edge[idx], 1e-30) ** 3
             )
             if not still.any():
@@ -274,6 +287,21 @@ def compute_planes(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
             return planes.astype(np.float32)
     planes = np.linalg.inv(m)
     return planes.astype(np.float32)
+
+
+def _hash_unit(idx: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic splitmix64-style hash of integer ids to uniform
+    [-1, 1] floats — per-VERTEX jitter for degenerate-cell plane
+    regularization (see :func:`compute_planes`). A pure function of
+    ``(id, salt)`` so every cell touching a vertex sees the same
+    jittered position."""
+    x = np.asarray(idx, dtype=np.uint64) + np.uint64(salt + 1) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
 
 
 def _check_watertight(vertices, cells, neighbors, hull_eqs, tol_rel=1e-5):

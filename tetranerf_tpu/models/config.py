@@ -171,7 +171,19 @@ class TetrahedraNerfConfig:
     only absorbs batch-to-batch quantile jitter — far smaller than the
     main bound's 1.5x distribution-shift margin. Truncation grows the
     bound back at the next retune and is surfaced via ``overflow_rays``
-    meanwhile."""
+    meanwhile.
+
+    Exposure window: with ``ray_buckets >= 2`` the MAIN bound is also
+    sized from the top quantile chunk with this margin, and the main
+    bound caps the geometry march itself — so between retunes a
+    crossing-distribution shift deeper than the margin truncates the
+    deepest rays' FAR geometry (not just shading). The window is one
+    retune interval (``occupancy_retune_every`` steps) and is bounded by
+    three mitigations: the default p100 retune percentile sizes from the
+    batch max, the retune takes the elementwise MAX over the last 3
+    probes (a shrink needs 3 agreeing probes), and growth is accepted
+    immediately. Raise this margin (e.g. 1.5) if a scene's crossing
+    distribution genuinely drifts between retunes."""
     bucket_adaptive_samples: bool = True
     """Scale each bucket's sample budget with its depth bound
     (``utils.shapes.scaled_budget``): per-crossing sample density never

@@ -147,13 +147,27 @@ class TetraNerfAdapterModel(_BaseModel):
         metrics_dict = m.compute_image_metrics(
             rgb_np, img_np, lpips=self._lpips
         )
-        # ns-eval's key names for the two SSIM protocols
-        # (ref model.py:699-707).
-        metrics_dict["nerfstudio_ssim"] = metrics_dict.pop("mipnerf_ssim")
+        # ns-eval's key names for the SSIM protocols (ref
+        # model.py:699-707). The reference reports BOTH nerfstudio_ssim
+        # (torchmetrics gaussian-11) and mipnerf_ssim (dm-pix); our JAX
+        # implementation IS the gaussian-11 protocol, so the same value
+        # legitimately serves both keys.
+        metrics_dict["nerfstudio_ssim"] = metrics_dict["mipnerf_ssim"]
+        acc = outputs["accumulation"]
+        depth = outputs["depth"]
+        try:  # colormapped tensors for viewer parity (ref model.py:687-692)
+            from nerfstudio.utils import colormaps
+
+            acc = colormaps.apply_colormap(acc)
+            depth = colormaps.apply_depth_colormap(
+                depth, accumulation=outputs["accumulation"]
+            )
+        except Exception:  # pragma: no cover - older nerfstudio APIs
+            pass
         images_dict = {
             "img": torch.cat([image, rgb], dim=1),
-            "accumulation": outputs["accumulation"],
-            "depth": outputs["depth"],
+            "accumulation": acc,
+            "depth": depth,
         }
         return metrics_dict, images_dict
 

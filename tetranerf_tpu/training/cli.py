@@ -228,6 +228,31 @@ def main(argv=None):
         config.model.occupancy_retune_percentile = args.retune_percentile
     if args.num_model_shards is not None:
         config.num_model_shards = args.num_model_shards
+    # Named aliases above and the generic --model.* surface can target
+    # the same field; both set at once would silently let --model.* win.
+    _ALIAS_TO_MODEL_FIELD = {
+        "num_samples": "num_samples",
+        "num_fine_samples": "num_fine_samples",
+        "max_intersected_triangles": "max_intersected_triangles",
+        "field_dim": "field_dim",
+        "background_color": "background_color",
+        "occupancy": "use_occupancy_field",
+        "no_occupancy": "use_occupancy_field",
+        "skip_grid": "skip_grid_resolution",
+        "occupancy_threshold": "occupancy_threshold",
+        "ray_buckets": "ray_buckets",
+        "interp_mode": "interp_mode",
+        "retune_percentile": "occupancy_retune_percentile",
+    }
+    for alias, field in _ALIAS_TO_MODEL_FIELD.items():
+        alias_set = getattr(args, alias, None) not in (None, False)
+        twin_set = getattr(args, "model__" + field, None) is not None
+        if alias_set and twin_set:
+            raise SystemExit(
+                f"conflicting flags: --{alias.replace('_', '-')} and "
+                f"--model.{field.replace('_', '-')} both set — pass only "
+                "one"
+            )
     _apply_model_flags(args, config)
 
     print(f"loading dataset from {args.data} ...", file=sys.stderr)
