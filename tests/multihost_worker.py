@@ -97,7 +97,57 @@ def main():
     expected2 = float(np.mean(field[vids]))
     assert abs(got2 - expected2) < 1e-5, (got2, expected2)
 
-    print(f"OK process={process_id} value={got} tp={got2}", flush=True)
+    # Full flagship train-step path across processes: bucketed shading
+    # (ray_buckets=2) + occupancy termination + EMA update + the
+    # transmittance retune, each process feeding ONLY its
+    # host_batch_slice — the exact pod code path (make_global_batch's
+    # process_count>1 branch) for every jitted step AND every probe.
+    from tetranerf_tpu.geometry import build_mesh
+    from tetranerf_tpu.models import TetraNerf, TetrahedraNerfConfig
+    from tetranerf_tpu.training import Trainer, tetranerf_preset
+    from tetranerf_tpu.utils import (
+        make_camera_scene,
+        camera_ray_targets,
+        sample_camera_rays,
+    )
+
+    points, colors = make_camera_scene(600, seed=3)
+    tmesh = build_mesh(points)
+    config = tetranerf_preset()
+    config.model = TetrahedraNerfConfig(
+        num_samples=8,
+        num_fine_samples=8,
+        max_intersected_triangles=64,
+        field_dim=8,
+        hidden_size=16,
+        compute_dtype="float32",
+        use_occupancy_field=True,
+        occupancy_update_every=2,
+        occupancy_retune_every=3,
+        occupancy_refresh_every=0,
+        ray_buckets=2,
+    )
+    config.num_model_shards = 2  # dp=4 x tp=2 across the 2 processes
+    model = TetraNerf(config.model, tmesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)  # same seed -> same GLOBAL batch
+    losses = []
+    for step in range(4):
+        o, d = sample_camera_rays(rng, 64)
+        rgb = camera_ray_targets(o, d)
+        sl = host_batch_slice(64)
+        m = trainer.train_step(
+            {"origins": o[sl], "directions": d[sl], "rgb": rgb[sl]}
+        )
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert trainer._occ is not None  # EMA update ran multi-process
+
+    print(
+        f"OK process={process_id} value={got} tp={got2} "
+        f"train={losses[-1]:.6f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -61,7 +61,11 @@ def test_two_process_global_batch():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"OK process={pid}" in out, out
-    # Both processes computed the same replicated global value.
-    v0 = outs[0].split("value=")[1].split()[0]
-    v1 = outs[1].split("value=")[1].split()[0]
-    assert v0 == v1
+    # Both processes computed the same replicated global value, and the
+    # flagship bucketed train step converged to the same loss (the
+    # make_global_batch process_count>1 branch feeding every jitted
+    # step and probe).
+    for key in ("value=", "tp=", "train="):
+        v0 = outs[0].split(key)[1].split()[0]
+        v1 = outs[1].split(key)[1].split()[0]
+        assert v0 == v1, (key, v0, v1)

@@ -4,6 +4,7 @@ from .sharding import (
     initialize_multihost,
     make_global_batch,
     make_mesh,
+    put_replicated,
     replicate,
     state_shardings,
     shard_batch,
@@ -13,6 +14,7 @@ __all__ = [
     "make_mesh",
     "state_shardings",
     "batch_sharding",
+    "put_replicated",
     "replicate",
     "shard_batch",
     "host_batch_slice",

@@ -159,6 +159,31 @@ def make_global_batch(local_batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(to_global, local_batch)
 
 
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host-identical pytree across the mesh — multi-process
+    safe for arrays containing NaN.
+
+    ``jax.device_put`` of a numpy array onto a multi-process sharding
+    verifies the value is identical on every process with ``np.equal`` —
+    which fails on bitwise-identical arrays that contain NaN (NaN !=
+    NaN). The packed march table legitimately carries NaNs: boundary
+    neighbors are ``-1`` bit-cast to f32 (0xFFFFFFFF is a NaN pattern).
+    Single-process this is exactly ``device_put``; multi-process it
+    builds each leaf via ``make_array_from_callback`` (no value check —
+    the tables are deterministic on every host by construction)."""
+    sharding = replicate(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

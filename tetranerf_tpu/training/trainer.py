@@ -25,6 +25,7 @@ from ..models.tetra_nerf import RayBundle, TetraNerf
 from ..parallel.sharding import (
     batch_sharding,
     make_mesh,
+    put_replicated,
     replicate,
     state_shardings,
 )
@@ -248,7 +249,9 @@ class Trainer:
             if model.config.traversal_hops == 2
             else model.mesh.slim()
         )
-        self.mesh_tables = jax.device_put(device_mesh_tables, rep)
+        self.mesh_tables = put_replicated(
+            device_mesh_tables, self.device_mesh
+        )
         self._rep = rep
         self._batch_sharding = batch_sharding(self.device_mesh)
         # Scene-tuned traversal bounds (None = the config's). Set by
@@ -331,6 +334,26 @@ class Trainer:
             out_shardings=bsh,
         )
 
+    def _probe_arrays(self, batch: Dict[str, np.ndarray], limit: int = 8192):
+        """Global ``(origins, directions)`` arrays for bound/occupancy
+        probes — multi-host safe. Each process passes only its OWN rows
+        (its ``host_batch_slice`` of the global batch, same contract as
+        :meth:`train_step`); the assembled global arrays are identical on
+        every process, so probe statistics (and the bounds derived from
+        them) agree across the pod without extra synchronization. The
+        probes' jits emit replicated outputs for the same reason:
+        ``np.asarray`` of a non-fully-addressable array raises."""
+        from ..parallel.sharding import make_global_batch
+
+        sub = {
+            "origins": np.asarray(batch["origins"][:limit], np.float32),
+            "directions": np.asarray(
+                batch["directions"][:limit], np.float32
+            ),
+        }
+        g = make_global_batch(sub, self.device_mesh)
+        return g["origins"], g["directions"]
+
     def tune_traversal_steps(self, batch: Dict[str, np.ndarray]) -> int:
         """Shrink the traversal step bound to the scene's actual needs.
 
@@ -354,8 +377,7 @@ class Trainer:
         from ..ops.traversal import hull_intersect
 
         cfg = self.model.config
-        o = jnp.asarray(batch["origins"][:8192])
-        d = jnp.asarray(batch["directions"][:8192])
+        o, d = self._probe_arrays(batch)
 
         def probe(m, o, d):
             res = march_features(
@@ -366,7 +388,9 @@ class Trainer:
             chord = jnp.where(hit, t_out - jnp.maximum(t_in, 0.0), 0.0)
             return res.num_valid, chord
 
-        num_valid, chord = jax.jit(probe)(self.mesh_tables, o, d)
+        num_valid, chord = jax.jit(probe, out_shardings=self._rep)(
+            self.mesh_tables, o, d
+        )
         num_valid = np.asarray(num_valid)
         rounded_bound = _rounded_bound
 
@@ -479,7 +503,9 @@ class Trainer:
             occ = occ.at[jnp.maximum(cells_flat, 0)].max(vals)
             return occ
 
-        self._occ_update = jax.jit(update, donate_argnums=(1,))
+        self._occ_update = jax.jit(
+            update, donate_argnums=(1,), out_shardings=self._rep
+        )
         return self._occ_update
 
     def _write_occ_column(self):
@@ -515,15 +541,23 @@ class Trainer:
             )
 
     def update_occupancy(self, batch: Dict[str, np.ndarray]):
-        """Ray-based occupancy EMA update + the packed column write."""
+        """Ray-based occupancy EMA update + the packed column write.
+
+        Multi-host: like :meth:`train_step`, each process passes its own
+        local rows; the global batch-sharded arrays are assembled here
+        (the EMA itself is replicated, so the update is identical on
+        every process)."""
         self._ensure_occ()
-        o = jax.device_put(
-            np.asarray(batch["origins"], np.float32), self._batch_sharding
+        from ..parallel.sharding import make_global_batch
+
+        g = make_global_batch(
+            {
+                "origins": np.asarray(batch["origins"], np.float32),
+                "directions": np.asarray(batch["directions"], np.float32),
+            },
+            self.device_mesh,
         )
-        d = jax.device_put(
-            np.asarray(batch["directions"], np.float32),
-            self._batch_sharding,
-        )
+        o, d = g["origins"], g["directions"]
         self._occ = self._occupancy_update_fn()(
             self.state.params, self._occ, o, d, self.mesh_tables,
             self._occ_cap_dev,
@@ -703,7 +737,7 @@ class Trainer:
             )
             return nv_eff, est_at
 
-        self._nv_eff = jax.jit(probe)
+        self._nv_eff = jax.jit(probe, out_shardings=self._rep)
         return self._nv_eff
 
     def retune_with_transmittance(self, batch: Dict[str, np.ndarray]) -> int:
@@ -722,8 +756,7 @@ class Trainer:
         ``overflow_rays``."""
         cfg = self.model.config
         fn = self._nv_eff_fn()
-        o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
-        d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
+        o, d = self._probe_arrays(batch)
         nv, est_at = fn(self.state.params, o, d, self.mesh_tables)
         nv = np.asarray(nv)
         # Calibrate the march-termination depth cap so the estimated
@@ -865,10 +898,9 @@ class Trainer:
                     occ_depth_cap=occ_cap,
                 ).num_valid
 
-            fn = jax.jit(probe)
+            fn = jax.jit(probe, out_shardings=self._rep)
             self._fast_eval_fns[key] = fn
-        o = jnp.asarray(np.asarray(batch["origins"][:8192], np.float32))
-        d = jnp.asarray(np.asarray(batch["directions"][:8192], np.float32))
+        o, d = self._probe_arrays(batch)
         nv = np.asarray(fn(self.mesh_tables, o, d, self._occ_cap_dev))
         # Percentile sizing: the batch max is dominated by the rare rays
         # that miss all occupied geometry and march their full hull
