@@ -43,13 +43,13 @@ def patterns(rng, n, rows):
     out["sorted"] = np.sort(uni)
     step = rng.integers(-8, 9, size=n)
     out["walk"] = (np.cumsum(step) % rows).astype(np.int32)
-    starts = rng.integers(0, max(rows - 16, 1), size=n // 16)
+    starts = rng.integers(0, max(rows - 16, 1), size=-(-n // 16))
     out["block16"] = (
         starts[:, None] + np.arange(16)[None, :]
     ).reshape(-1).astype(np.int32)[:n]
     g = 256
-    wins = rng.integers(0, max(rows - 1024, 1), size=n // g)
-    offs = rng.integers(0, 1024, size=(n // g, g))
+    wins = rng.integers(0, max(rows - 1024, 1), size=-(-n // g))
+    offs = rng.integers(0, 1024, size=(-(-n // g), g))
     out["cluster1k"] = (wins[:, None] + offs).reshape(-1).astype(np.int32)[:n]
     return out
 
