@@ -51,7 +51,10 @@ def build_trainer(scene: str, points: int, overrides=None):
 
     t0 = time.perf_counter()
     pts, colors = make_scene(points, seed=0)
-    mesh = build_mesh(pts, two_hop_table=False)
+    mesh = build_mesh(
+        pts,
+        two_hop_table=(overrides or {}).get("traversal_hops") == 2,
+    )
     print(
         f"# mesh: {mesh.num_vertices} verts, {mesh.num_cells} cells "
         f"({time.perf_counter() - t0:.1f}s) on {jax.devices()[0].platform}",

@@ -51,19 +51,36 @@ def test_fused_intervals_match_modular(ball_mesh, rng, hops):
 
 
 def test_two_hop_features_match_one_hop(ball_mesh, rng):
+    """The two-hop march is the SAME per-hop body run twice per fetched
+    row (second block selected by the first hop's exit face), so every
+    output — intervals, stream, endpoint features — is bit-identical to
+    hops=1, with or without compaction."""
     o, d = _rays(rng, 16)
     field = jnp.asarray(
         rng.normal(size=(ball_mesh.num_vertices, 8)).astype(np.float32)
     )
     f1 = march_features(ball_mesh, field, o, d, max_steps=128, hops=1)
     f2 = march_features(ball_mesh, field, o, d, max_steps=128, hops=2)
+    for name in ("num_valid", "cells", "t1", "hit", "overflow", "t0s"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(f1, name)), np.asarray(getattr(f2, name)),
+            err_msg=name,
+        )
     np.testing.assert_array_equal(
-        np.asarray(f1.num_valid), np.asarray(f2.num_valid)
+        np.asarray(f1.stream.vids), np.asarray(f2.stream.vids)
     )
-    # hops=1 blends endpoint features through the bfloat16 stream kernel;
-    # hops=2 uses the exact f32 4-row gather — they agree to bf16 rounding.
-    np.testing.assert_allclose(
-        np.asarray(f1.feats), np.asarray(f2.feats), atol=3e-2, rtol=1e-2
+    np.testing.assert_array_equal(
+        np.asarray(f1.feats), np.asarray(f2.feats)
+    )
+    # Compaction composes with two-hop (bit-identical for any schedule).
+    f3 = march_features(
+        ball_mesh, field, o, d, max_steps=128, hops=2, compact_stages=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f1.cells), np.asarray(f3.cells)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f1.feats), np.asarray(f3.feats)
     )
 
 

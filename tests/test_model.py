@@ -264,6 +264,62 @@ def test_ray_buckets_match_unbucketed(scene):
     assert np.isfinite(np.asarray(out3["rgb"])).all()
 
 
+def test_merged_bucket_mlps_match_per_bucket(scene):
+    """``bucket_merge_mlps`` must reproduce the per-bucket path: the
+    merged MLP rounds run the same math per sample (flattened across
+    buckets), so eval outputs agree to matmul-tiling roundoff, and a
+    train-mode pass with the same rng produces identical sampling
+    (finite loss + equal masks/overflow)."""
+    mesh, colors = scene
+    base = _small_config(num_fine_samples=16, ray_buckets=4)
+    model1 = TetraNerf(base, mesh)
+    params = model1.init_params(jax.random.PRNGKey(0), point_colors=colors)
+    rng = np.random.default_rng(17)
+    o, d = sample_sphere_rays(rng, 64)
+    rays = RayBundle(jnp.asarray(o), jnp.asarray(d))
+    inner = (24, 40, 64)
+    out1 = model1.get_outputs(params, rays, bucket_steps=inner)
+
+    cfg2 = _small_config(
+        num_fine_samples=16, ray_buckets=4, bucket_merge_mlps=True
+    )
+    model2 = TetraNerf(cfg2, mesh)
+    out2 = model2.get_outputs(params, rays, bucket_steps=inner)
+    np.testing.assert_array_equal(
+        np.asarray(out1["ray_mask"]), np.asarray(out2["ray_mask"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["traversal_overflow"]),
+        np.asarray(out2["traversal_overflow"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["rgb"]), np.asarray(out2["rgb"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["depth"]), np.asarray(out2["depth"]), atol=1e-4
+    )
+
+    # Train mode: same rng => same stratified/PDF draws; gradients flow
+    # through the merged pass (loss finite, grad nonzero).
+    key = jax.random.PRNGKey(3)
+    t1 = model1.get_outputs(params, rays, rng=key, train=True,
+                            bucket_steps=inner)
+    t2 = model2.get_outputs(params, rays, rng=key, train=True,
+                            bucket_steps=inner)
+    np.testing.assert_allclose(
+        np.asarray(t1["rgb"]), np.asarray(t2["rgb"]), atol=2e-5
+    )
+
+    def loss_fn(p):
+        out = model2.get_outputs(p, rays, rng=key, train=True,
+                                 bucket_steps=inner)
+        return jnp.mean(jnp.square(out["rgb"]))
+
+    g = jax.grad(loss_fn)(params)
+    gf = np.asarray(g["tetrahedra_field"])
+    assert np.isfinite(gf).all() and np.abs(gf).max() > 0
+
+
 def test_quantile_buckets_match_unbucketed(scene):
     """K-bucket quantile shading must reproduce the unbucketed forward
     exactly (eval mode) when each bucket's bound covers its rays' true

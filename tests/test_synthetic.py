@@ -139,6 +139,59 @@ def test_train_step_runs_on_hard_scene():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_two_hop_flagship_train_step_matches_one_hop():
+    """traversal_hops=2 on the FULL flagship path (occupancy EMA update
+    + column write + bucketed shading): same loss as hops=1 (the
+    two-hop march is bit-identical), and the occupancy write keeps
+    every two-hop block's occ column consistent."""
+    from tetranerf_tpu.geometry.mesh import build_mesh as _bm
+
+    points, colors = make_camera_scene(800, seed=1)
+    losses = {}
+    for hops in (1, 2):
+        mesh = _bm(points, two_hop_table=hops == 2)
+        config = tetranerf_preset()
+        config.model = TetrahedraNerfConfig(
+            num_samples=8,
+            num_fine_samples=8,
+            max_intersected_triangles=64,
+            field_dim=8,
+            hidden_size=16,
+            compute_dtype="float32",
+            use_occupancy_field=True,
+            occupancy_update_every=1,
+            occupancy_retune_every=0,
+            occupancy_refresh_every=0,
+            ray_buckets=2,
+            traversal_hops=hops,
+        )
+        model = TetraNerf(config.model, mesh)
+        trainer = Trainer(config, model, point_colors=colors)
+        rng = np.random.default_rng(2)
+        for _ in range(3):
+            o, d = sample_camera_rays(rng, 64)
+            m = trainer.train_step(
+                {
+                    "origins": o,
+                    "directions": d,
+                    "rgb": camera_ray_targets(o, d),
+                }
+            )
+        losses[hops] = float(m["loss"])
+        if hops == 2:
+            t2 = np.asarray(trainer.mesh_tables.march_table2)
+            t1 = np.asarray(trainer.mesh_tables.march_table)
+            nbr = np.asarray(mesh.neighbors)
+            occ = t1[:, 24]
+            np.testing.assert_array_equal(t2[:, 24], occ)
+            for k in range(4):
+                np.testing.assert_array_equal(
+                    t2[:, 25 * (k + 1) + 24],
+                    occ[np.maximum(nbr[:, k], 0)],
+                )
+    assert np.isclose(losses[1], losses[2], rtol=1e-5), losses
+
+
 def test_train_step_runs_on_camera_scene():
     points, colors = make_camera_scene(800, seed=1)
     mesh = build_mesh(points)

@@ -66,11 +66,14 @@ class TetrahedraMesh:
             marching loop fetches ONE packed row per step instead of
             three separate tables; the occupancy value rides along for
             free in the already-fetched row.
-        march_table2: ``f32[C, 120]`` two-hop row: the cell's own 24-float
-            row followed by the full rows of its 4 face neighbors. Row
-            *count*, not row *size*, limits TPU gather throughput, so one
-            480-byte fetch advances the march two cells — halving the
-            critical-path gather chain.
+        march_table2: ``f32[C, 128]`` two-hop row: five 25-float blocks —
+            the cell's own row (planes 16 | neighbors 4 | vertex ids 4 |
+            occupancy 1) followed by its 4 face neighbors' rows — padded
+            to 128. 128-float rows gather at the SAME ~100M rows/s row
+            rate as 64-float rows (measured, r5 width sweep), so one
+            fetch advances the march TWO cells — halving the row count
+            of its dominant sequential gather chain. Occupancy rides in
+            column 24 of every block (see :meth:`with_occupancy`).
         skip_table: ``f32[G, G, G, 8]`` empty-space skip grid (built from
             the occupancy EMA by :mod:`tetranerf_tpu.ops.skip_grid`; a
             zero-size array disables skipping). Column 0 is the safe
@@ -105,15 +108,26 @@ class TetrahedraMesh:
         written into the packed march rows. Cheap on device (one dense
         column update); the marcher reads it for transmittance-based
         early termination (``src/tetrahedra_tracer.cu:55-113`` built its
-        scatter-EMA for exactly this, but the reference never wired it)."""
+        scatter-EMA for exactly this, but the reference never wired it).
+
+        With a two-hop table present, every block's occupancy column is
+        updated too (the 4 neighbor blocks carry the NEIGHBORS' values —
+        a ``[C, 4]`` gather, amortized over the update cadence)."""
         import dataclasses as _dc
 
         import jax.numpy as _jnp
 
-        table = _jnp.asarray(self.march_table).at[:, 24].set(
-            _jnp.asarray(occupancy, _jnp.float32)
-        )
-        return _dc.replace(self, march_table=table)
+        occ = _jnp.asarray(occupancy, _jnp.float32)
+        table = _jnp.asarray(self.march_table).at[:, 24].set(occ)
+        kwargs = {"march_table": table}
+        if self.march_table2.shape[0]:
+            safe_nbr = _jnp.maximum(_jnp.asarray(self.neighbors), 0)
+            t2 = _jnp.asarray(self.march_table2).at[:, 24].set(occ)
+            nbr_occ = occ[safe_nbr]  # [C, 4]
+            for k in range(4):
+                t2 = t2.at[:, 25 * (k + 1) + 24].set(nbr_occ[:, k])
+            kwargs["march_table2"] = t2
+        return _dc.replace(self, **kwargs)
 
     def on_device(self) -> "TetrahedraMesh":
         """Mesh with every table as a jax array.
@@ -137,31 +151,38 @@ class TetrahedraMesh:
             },
         )
 
-    def slim(self) -> "TetrahedraMesh":
-        """Drop the arrays the fused hops=1 hot path never reads.
+    def slim(self, keep_two_hop: bool = False) -> "TetrahedraMesh":
+        """Drop the arrays the fused hot path never reads.
 
         ``planes``/``neighbors``/``cells`` are packed inside
         ``march_table`` rows, and ``vertex_cells``/``march_table2`` serve
-        only the point-locator / opt-in two-hop marcher — together ~40%
+        only the point-locator / two-hop marcher — together ~40%
         of the mesh's device bytes on top of the march table. The
         trainer ships the slim mesh to devices; the full mesh stays on
         host for the parity APIs (``locate_points``, ``match_samples``,
         ``find_tetrahedra``). Zero-size placeholders keep the pytree
         structure (and jit signatures) unchanged.
+
+        ``keep_two_hop`` (for ``traversal_hops=2``) keeps
+        ``march_table2`` AND ``neighbors`` (the occupancy column write
+        updates every block's occ value via a neighbor gather).
         """
         import dataclasses as _dc
 
         import numpy as _np
 
         empty = lambda shape, dt: _np.zeros(shape, dt)
-        return _dc.replace(
-            self,
+        repl = dict(
             cells=empty((0, 4), _np.int32),
             neighbors=empty((0, 4), _np.int32),
             planes=empty((0, 4, 4), _np.float32),
             vertex_cells=empty((0,), _np.int32),
             march_table2=empty((0, 128), _np.float32),
         )
+        if keep_two_hop:
+            repl.pop("march_table2")
+            repl.pop("neighbors")
+        return _dc.replace(self, **repl)
 
     def tree_flatten(self):
         children = tuple(
@@ -362,9 +383,9 @@ def build_mesh(
     (matching ``TetrahedraNerf._load_points_from_metadata``,
     ``tetranerf/nerfstudio/model.py:302-316`` of the reference).
 
-    ``two_hop_table`` additionally builds ``march_table2`` (480 B/cell —
-    5x the march table) for the opt-in ``traversal_hops=2`` marcher;
-    off by default.
+    ``two_hop_table`` additionally builds ``march_table2`` (512 B/cell —
+    2x the march table) for the ``traversal_hops=2`` marcher; off by
+    default (enable where the march dominates and the table fits HBM).
     """
     vertices = np.ascontiguousarray(vertices, dtype=np.float64)
     if cells is None:
@@ -421,17 +442,18 @@ def build_mesh(
     march_table[:, :16] = planes.astype(np.float32).reshape(len(cells), 16)
     march_table[:, 16:20] = neighbors.astype(np.int32).view(np.float32)
     march_table[:, 20:24] = cells.view(np.float32)
-    # Two-hop row: self + the 4 neighbors' rows (boundary -> own row; the
-    # marcher checks the neighbor id before using the block), padded to
-    # 128 floats. Optional: measured neutral on v5e at 5x the memory of
-    # march_table, but kept for hardware where gather latency dominates.
+    # Two-hop row: self + the 4 neighbors' 25-float blocks (incl. the
+    # occupancy column; boundary -> cell-0 block, gated by the marcher's
+    # neighbor-id check). 128-float rows gather at the same row RATE as
+    # 64-float rows, so the two-hop march halves its gather-chain row
+    # count (the dominant march cost) for 2x the table memory.
     if two_hop_table:
-        packed = march_table[:, :24]
+        packed = march_table[:, :25]
         safe_nbr = np.where(neighbors >= 0, neighbors, 0)
         march_table2 = np.zeros((len(cells), 128), np.float32)
-        march_table2[:, :120] = np.concatenate(
+        march_table2[:, :125] = np.concatenate(
             [packed[:, None, :], packed[safe_nbr]], axis=1
-        ).reshape(len(cells), 120)
+        ).reshape(len(cells), 125)
     else:
         march_table2 = np.zeros((0, 128), np.float32)
 

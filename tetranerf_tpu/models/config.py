@@ -184,6 +184,13 @@ class TetrahedraNerfConfig:
     probes (a shrink needs 3 agreeing probes), and growth is accepted
     immediately. Raise this margin (e.g. 1.5) if a scene's crossing
     distribution genuinely drifts between retunes."""
+    bucket_merge_mlps: bool = False
+    """Run the MLP rounds ONCE over all buckets' flattened samples
+    instead of per bucket (``TetraNerf._shade_buckets_merged``): 2 MLP
+    chains per step instead of 2 x ray_buckets, and one set of
+    weight-gradient reductions in the backward. Interp / PDF / render
+    stay per-bucket. Identical math per sample; ignored when the
+    gradient-budget, bf16-stream, or fused-MLP paths are active."""
     bucket_adaptive_samples: bool = True
     """Scale each bucket's sample budget with its depth bound
     (``utils.shapes.scaled_budget``): per-crossing sample density never

@@ -530,7 +530,7 @@ class TetraNerf:
                 camera_indices=cam[idx] if cam is not None else None,
             )
 
-        outs = []
+        plan = []
         for k in range(k_buckets):
             lo = num_rays * k // k_buckets
             hi = num_rays * (k + 1) // k_buckets
@@ -542,20 +542,218 @@ class TetraNerf:
                 nf_k = scaled_budget(n_fine, t_k, max_steps)
             else:
                 ns_k, nf_k = n_coarse, n_fine
-            idx = order[lo:hi]
+            plan.append((k, order[lo:hi], t_k, ns_k, nf_k))
+        if (
+            cfg.bucket_merge_mlps
+            and not (train and cfg.grad_stream_budget_per_ray)
+            and cfg.field_stream_dtype in (None, "float32")
+            and not cfg.fused_mlps
+        ):
+            outs = self._shade_buckets_merged(
+                params, res, plan, keys, sub_bundle, train
+            )
+        else:
             # _forward's cached-march branch computes the bucket's
             # endpoint features (with the per-bucket gradient budget);
             # the occupancy cap was already applied in the shared march.
-            outs.append(
+            outs = [
                 self._forward(
                     params, sub_bundle(idx), keys[k], train, mesh, t_k,
                     ns_k, nf_k, cached_march=_slice_march(res, idx, t_k),
                 )
-            )
+                for k, idx, t_k, ns_k, nf_k in plan
+            ]
         return {
             k: jnp.concatenate([o[k] for o in outs], axis=0)[inv_order]
             for k in outs[0]
         }
+
+    def _shade_buckets_merged(
+        self, params, res, plan, keys, sub_bundle, train
+    ):
+        """Bucketed shading with the MLP calls MERGED across buckets.
+
+        The per-bucket path launches 2 MLP rounds x K buckets of small
+        [R_k, S_k, ·] calls — 16 kernel chains at K=8, each with its own
+        weight-gradient reductions in the backward. Samples are
+        pointwise for the MLPs, so all buckets' samples can be flattened
+        to one [ΣR_k·S_k, 1, F] batch per round: 2 MLP chains total,
+        one set of weight-grad matmuls, identical math per sample
+        (directions/camera indices are repeated per sample). Interp,
+        PDF resampling, and rendering stay per-bucket (their shapes are
+        bucket-bound-dependent). Gated by ``config.bucket_merge_mlps``;
+        falls back to per-bucket ``_forward`` when the gradient-budget /
+        bf16-stream / fused-MLP paths are active (those thread per-
+        bucket state through the MLP calls)."""
+        cfg = self.config
+        sg = jax.lax.stop_gradient
+        field = params["tetrahedra_field"]
+
+        def flatten(chunks_fv, chunks_dir, chunks_cam):
+            fv = jnp.concatenate(
+                [c.reshape(-1, 1, c.shape[-1]) for c in chunks_fv], axis=0
+            )
+            dirs = jnp.concatenate(chunks_dir, axis=0)
+            cams = (
+                jnp.concatenate(chunks_cam, axis=0)
+                if chunks_cam[0] is not None
+                else None
+            )
+            return fv, dirs, cams
+
+        def split(flat, shapes):
+            # ``flat`` is [N, ...trailing] with N = Σ r*s rows.
+            outs, off = [], 0
+            for r, s in shapes:
+                outs.append(
+                    flat[off : off + r * s].reshape(r, s, *flat.shape[1:])
+                )
+                off += r * s
+            return outs
+
+        # Phase A: per-bucket march slice + endpoint features + coarse
+        # sampling + interpolation (everything bound-shaped).
+        B = []
+        for k, idx, t_k, ns_k, nf_k in plan:
+            bundle = sub_bundle(idx)
+            res_k = _slice_march(res, idx, t_k)
+            res_k = res_k._replace(
+                feats=endpoint_features(
+                    field, res_k.stream, counts=res_k.num_valid + 4
+                )
+            )
+            if keys[k] is not None:
+                k_coarse, k_fine, k_bg = jax.random.split(keys[k], 3)
+            else:
+                k_coarse = k_fine = k_bg = None
+            nears, fars, first_kept, num_kept, ray_mask = ray_bounds(res_k)
+            num_rays_k = bundle.origins.shape[0]
+            bins01 = stratified_bins(
+                k_coarse if train else None, num_rays_k, ns_k
+            )
+            euclid = nears[:, None] + bins01 * (fars - nears)[:, None]
+            if cfg.use_biased_sampler:
+                euclid = biased_warp_range(
+                    res_k, first_kept, num_kept, nears, fars, euclid
+                )
+            spacing = (euclid - nears[:, None]) / (fars - nears)[:, None]
+            b = dict(
+                bundle=bundle, res=res_k, nears=nears, fars=fars,
+                ray_mask=ray_mask, euclid=euclid, spacing=spacing,
+                k_fine=k_fine, k_bg=k_bg, nf=nf_k,
+            )
+            b["dist"], b["deltas"], b["smask"], b["fv"] = self._run_field(
+                res_k, euclid, ray_mask
+            )
+            B.append(b)
+
+        dirs_of = lambda b, s: jnp.repeat(b["bundle"].directions, s, axis=0)
+        cams_of = lambda b, s: (
+            jnp.repeat(b["bundle"].camera_indices, s, axis=0)
+            if b["bundle"].camera_indices is not None
+            else None
+        )
+        any_fine = any(b["nf"] > 0 for b in B)
+        if any_fine:
+            # Phase B: ONE merged coarse density pass (stop-gradiented —
+            # the coarse round only shapes the PDF, as in _forward).
+            shapes = [tuple(b["fv"].shape[:2]) for b in B]
+            flat, dirs, cams = flatten(
+                [b["fv"] for b in B],
+                [dirs_of(b, s) for b, (_, s) in zip(B, shapes)],
+                [cams_of(b, s) for b, (_, s) in zip(B, shapes)],
+            )
+            dens_flat = self._density_mlp(
+                sg(params), sg(flat), dirs, cams, train
+            )
+            dens = split(dens_flat[:, 0], shapes)
+            # Phase C: per-bucket PDF resample + fine interpolation.
+            for b, d_c in zip(B, dens):
+                if b["nf"] == 0:  # this bucket shades its coarse samples
+                    continue
+                d_c = d_c.reshape(b["dist"].shape)
+                d_c = jnp.where(b["smask"], d_c, 0.0)
+                weights_c = render_weights(d_c, b["deltas"])
+                fine_spacing = pdf_sample(
+                    b["k_fine"] if train else None,
+                    b["spacing"],
+                    jax.lax.stop_gradient(weights_c),
+                    b["nf"],
+                    include_original=True,
+                )
+                b["euclid"] = (
+                    b["nears"][:, None]
+                    + fine_spacing * (b["fars"] - b["nears"])[:, None]
+                )
+                b["spacing"] = fine_spacing
+                (
+                    b["dist"], b["deltas"], b["smask"], b["fv"],
+                ) = self._run_field(b["res"], b["euclid"], b["ray_mask"])
+
+        # Phase D: ONE merged full MLP pass over every bucket's samples.
+        shapes = [tuple(b["fv"].shape[:2]) for b in B]
+        flat, dirs, cams = flatten(
+            [b["fv"] for b in B],
+            [dirs_of(b, s) for b, (_, s) in zip(B, shapes)],
+            [cams_of(b, s) for b, (_, s) in zip(B, shapes)],
+        )
+        rgb_flat, dens_flat = self._field_mlps_remat(
+            params, flat, dirs, cams, train
+        )
+        rgbs = split(rgb_flat[:, 0], shapes)
+        denss = split(dens_flat[:, 0], shapes)
+
+        # Phase E: per-bucket gradient scaling + volume rendering.
+        outs = []
+        for b, rgb, density in zip(B, rgbs, denss):
+            density = jnp.where(
+                b["smask"], density.reshape(b["dist"].shape), 0.0
+            )
+            if cfg.use_gradient_scaling:
+                s_mid = b["spacing"][:, 1:] + b["spacing"][:, :-1]
+                scaling = jnp.clip(jnp.square(s_mid), 0.0, 1.0)
+                rgb, density = _gradient_scaler(rgb, density, scaling)
+            weights = render_weights(density, b["deltas"])
+            num_rays_k = b["bundle"].origins.shape[0]
+            background = self._background(b["k_bg"], num_rays_k)
+            if cfg.background_color == "last_sample":
+                background = rgb[:, -1, :]
+            rgb_out, acc, depth = render_rgb_depth_acc(
+                weights,
+                rgb,
+                b["dist"],
+                background_rgb=background,
+                depth_method=cfg.depth_method,
+            )
+            ray_mask = b["ray_mask"]
+            rgb_out = jnp.where(ray_mask[:, None], rgb_out, background)
+            acc = jnp.where(ray_mask, acc, 0.0)
+            depth = jnp.where(ray_mask & (acc > 0), depth, cfg.far_plane)
+            outs.append(
+                {
+                    "rgb": rgb_out,
+                    "accumulation": acc[:, None],
+                    "depth": depth[:, None],
+                    "ray_mask": ray_mask,
+                    "traversal_overflow": b["res"].overflow,
+                }
+            )
+        return outs
+
+    def _run_field(self, res, bins, ray_mask):
+        """Coarse/fine interpolation round shared by the forward paths:
+        midpoint distances + deltas + per-sample features."""
+        cfg = self.config
+        distances = (bins[:, 1:] + bins[:, :-1]) / 2.0
+        deltas = bins[:, 1:] - bins[:, :-1]
+        field_values, smask = sample_features(
+            res,
+            distances,
+            ray_mask,
+            use_matmul=_interp_backend(cfg.interp_mode),
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+        )
+        return distances, deltas, smask, field_values
 
     def _forward(
         self,

@@ -68,16 +68,15 @@ class FusedMarch(NamedTuple):
     feats: Optional[jnp.ndarray]  # f32[R, T+1, F] endpoint features
     hit: jnp.ndarray  # bool[R]
     overflow: jnp.ndarray  # bool[R] — step bound hit while still marching
-    stream: Optional[MarchStream] = None  # hops=1 path only
+    stream: Optional[MarchStream] = None
     t0s: Optional[jnp.ndarray] = None  # f32[R, T] explicit entry distances
 
     @property
     def t0(self):
-        # The hops=1 march records each interval's entry distance
-        # explicitly (bit-identical to the derived chain for a
-        # contiguous march, and the only correct value once empty-space
-        # re-skips introduce gaps between consecutive intervals); the
-        # hops=2 path derives it from the exit chain.
+        # The march records each interval's entry distance explicitly
+        # (bit-identical to the derived chain for a contiguous march,
+        # and the only correct value once empty-space re-skips
+        # introduce gaps between consecutive intervals).
         if self.t0s is not None:
             return self.t0s
         return jnp.concatenate(
@@ -147,12 +146,17 @@ def march_features(
     slab + walk entry, same locally-conditioned crossing computation).
 
     ``hops=2`` uses the two-hop packed table (``mesh.march_table2``): TPU
-    gather throughput is limited by row *count*, so fetching a cell
-    together with its neighbors' rows advances two cells per sequential
-    gather, halving the traversal's critical path. ``hops=1`` fetches one
-    64-float row per step.
+    gather throughput is limited by row *count* (128-float rows gather
+    at the same ~100M rows/s row rate as 64-float rows, r5 width sweep),
+    so fetching a cell's row together with its 4 neighbors' blocks
+    advances TWO cells per sequential gather — halving the row count of
+    the march's dominant gather chain. Occupancy termination, stream
+    dedup, compaction, and the early-exit cascade all apply identically
+    (the two-hop step runs the same per-hop body twice per fetched row);
+    outputs are bit-identical to ``hops=1``. ``hops=1`` fetches one
+    64-float row per step and needs no extra table.
 
-    ``use_occupancy`` (hops=1 only) terminates a ray once its estimated
+    ``use_occupancy`` terminates a ray once its estimated
     transmittance ``exp(-sum sigma[cell] * dt)`` over crossed cells
     drops below ``occ_threshold`` — everything behind is occluded. The
     per-cell density estimate ``sigma`` rides in the packed march row
@@ -165,7 +169,7 @@ def march_features(
     while_loop exit). Zero density (the initial state) never terminates,
     so training before the first occupancy update is exact.
 
-    ``compact_stages`` (hops=1 only) enables per-ray compaction: each
+    ``compact_stages`` enables per-ray compaction: each
     time at most ``compact_ratio`` of the current width remains active,
     the active rays are packed into a dense prefix and the march
     continues at the narrower width, so total gather work tracks the
@@ -203,7 +207,6 @@ def march_features(
     skipping = (
         use_skip
         and use_occupancy
-        and hops == 1
         and mesh.skip_table.size > 0  # static: shapes are trace-time
     )
     if skipping:
@@ -302,232 +305,245 @@ def march_features(
             vertex_ids,
         )
 
+    table = mesh.march_table
     if hops == 2:
+        # Two-hop rows: 128-float rows gather at the SAME ~100M
+        # rows/s row rate as 64-float rows (r5 width sweep), so one
+        # fetch advances TWO cells — halving the march's sequential
+        # gather-chain row count. Everything else (occupancy
+        # termination, per-ray stream dedup, compaction cascade,
+        # early exit) is identical to hops=1: the two-hop step just
+        # runs the same per-hop body twice per fetched row, with the
+        # second hop's 25-float block selected from the row by the
+        # first hop's exit face (a 4-way VPU one-hot, not a gather).
         table2 = mesh.march_table2
         if table2.shape[0] == 0:
             raise ValueError(
                 "hops=2 requires build_mesh(two_hop_table=True)"
             )
-        num_iters = -(-max_steps // 2)
 
-        def step(state, _):
-            c, t, done = state
-            row2 = table2[jnp.maximum(c, 0)][:, :120].reshape(
-                num_rays, 5, 24
-            )
-            (cB, tB, doneB), emitA = hop(
-                c, t, done, row2[:, 0], origins, directions, t_cap
-            )
-            # Neighbor block chosen by hop A's exit face.
-            k1 = emitA[2]
-            rowB = jnp.take_along_axis(
-                row2[:, 1:], k1[:, None, None], axis=1
-            )[:, 0]
-            (cC, tC, doneC), emitB = hop(
-                cB, tB, doneB, rowB, origins, directions, t_cap
-            )
-            emit = tuple(
-                jnp.stack([a, b], axis=1)
-                for a, b in zip(
-                    (emitA[0], emitA[1], emitA[4], emitA[5]),
-                    (emitB[0], emitB[1], emitB[4], emitB[5]),
-                )
-            )
-            return (cC, tC, doneC), emit
-
-        init = (entry_cell, t_entry, ~hit)
-        (_, _, done_final), (cells, t1s, barys, vidxs) = jax.lax.scan(
-            step, init, None, length=num_iters
-        )
-        # [I, R, 2, ...] -> [R, I*2, ...]
-        total = num_iters * 2
-        cells = jnp.moveaxis(cells, 0, 1).reshape(num_rays, total)
-        t1s = jnp.moveaxis(t1s, 0, 1).reshape(num_rays, total)
-        barys = jnp.moveaxis(barys, 0, 1).reshape(num_rays, total, 4)
-        vidxs = jnp.moveaxis(vidxs, 0, 1).reshape(num_rays, total, 4)
-        poss = new_vids = t0s = None
+    # ``occ_depth_cap`` may be a TRACED scalar (the trainer
+    # re-calibrates it against the model's true optical depth every
+    # retune — see ``Trainer.retune_with_transmittance`` — and a
+    # traced cap changes without recompiling the step).
+    if not use_occupancy:
+        depth_cap = 0.0
+    elif occ_depth_cap is not None:
+        depth_cap = occ_depth_cap
     else:
-        table = mesh.march_table
+        depth_cap = -float(np.log(occ_threshold))
 
-        # ``occ_depth_cap`` may be a TRACED scalar (the trainer
-        # re-calibrates it against the model's true optical depth every
-        # retune — see ``Trainer.retune_with_transmittance`` — and a
-        # traced cap changes without recompiling the step).
-        if not use_occupancy:
-            depth_cap = 0.0
-        elif occ_depth_cap is not None:
-            depth_cap = occ_depth_cap
-        else:
-            depth_cap = -float(np.log(occ_threshold))
+    def substep(state, row, step_idx, consts):
+        """One marching hop given the cell's packed (>=25-float) row:
+        face crossing + occupancy depth + per-ray stream dedup +
+        gated emission. Shared verbatim by the 1- and 2-hop steps."""
+        o, d, cap = consts
+        c, t, done, vids_prev, pos_prev, depth = state
+        (new_c, new_t, new_done), e = hop(c, t, done, row, o, d, cap)
+        if use_occupancy:
+            # Exact optical depth through the crossed cell (sigma
+            # estimate x the ray's chord through it); the cell
+            # itself is still emitted, later cells are occluded.
+            sigma = row[..., 24]
+            depth = depth + jnp.where(e[3], sigma * (new_t - t), 0.0)
+            new_done = new_done | (depth > depth_cap)
+        vids_cur = e[5]  # [R, 4] current cell's vertex ids
+        # Per-ray vertex-stream dedup: a face-adjacent step shares 3
+        # of 4 vertices with the previous cell, so each step
+        # introduces at most ONE new vertex. Track each current
+        # vertex's position in the ray's stream of first appearances;
+        # downstream, features are gathered once per unique
+        # (ray, vertex) instead of 4x per endpoint.
+        eq = vids_cur[:, :, None] == vids_prev[:, None, :]  # [R, 4c, 4p]
+        is_new = ~jnp.any(eq, axis=-1)
+        matched_pos = jnp.sum(
+            eq * pos_prev[:, None, :], axis=-1
+        ).astype(jnp.int32)
+        pos_cur = jnp.where(is_new, jnp.int32(4) + step_idx, matched_pos)
+        new_vid = jnp.sum(
+            jnp.where(is_new, vids_cur, 0), axis=-1
+        ).astype(jnp.int32)
+        # Gate emissions by ``valid`` so the buffers match their
+        # initial padding on post-done steps. This makes the output
+        # independent of when the surrounding while_loop exits
+        # (which depends on OTHER rays' step counts) — required for
+        # the compaction cascade to be bit-identical, and makes the
+        # march deterministic w.r.t. batch composition in general.
+        active = e[3]
+        emit = (
+            e[0],
+            e[1],
+            jnp.where(active[:, None], e[4], 0.0),
+            jnp.where(active[:, None], pos_cur, 0),
+            jnp.where(active, new_vid, 0),
+            # Explicit entry distance: equals the previous exit for
+            # a contiguous march (``t`` is the carried exit), and
+            # stays exact once re-skips introduce gaps.
+            jnp.where(active, t, jnp.inf),
+        )
+        state = (new_c, new_t, new_done, vids_cur, pos_cur, depth)
+        return state, emit, e[2]
+
+    if hops == 2:
 
         def step(carry, i):
             consts, state = carry
-            o, d, cap = consts
-            c, t, done, vids_prev, pos_prev, depth = state
-            row = table[jnp.maximum(c, 0)]
-            (new_c, new_t, new_done), e = hop(c, t, done, row, o, d, cap)
-            if use_occupancy:
-                # Exact optical depth through the crossed cell (sigma
-                # estimate x the ray's chord through it); the cell
-                # itself is still emitted, later cells are occluded.
-                sigma = row[..., 24]
-                depth = depth + jnp.where(e[3], sigma * (new_t - t), 0.0)
-                new_done = new_done | (depth > depth_cap)
-            new_state = (new_c, new_t, new_done)
-            vids_cur = e[5]  # [R, 4] current cell's vertex ids
-            # Per-ray vertex-stream dedup: a face-adjacent step shares 3
-            # of 4 vertices with the previous cell, so each step
-            # introduces at most ONE new vertex. Track each current
-            # vertex's position in the ray's stream of first appearances;
-            # downstream, features are gathered once per unique
-            # (ray, vertex) instead of 4x per endpoint.
-            eq = vids_cur[:, :, None] == vids_prev[:, None, :]  # [R, 4c, 4p]
-            is_new = ~jnp.any(eq, axis=-1)
-            matched_pos = jnp.sum(
-                eq * pos_prev[:, None, :], axis=-1
-            ).astype(jnp.int32)
-            pos_cur = jnp.where(is_new, jnp.int32(4) + i, matched_pos)
-            new_vid = jnp.sum(
-                jnp.where(is_new, vids_cur, 0), axis=-1
-            ).astype(jnp.int32)
-            # Gate emissions by ``valid`` so the buffers match their
-            # initial padding on post-done steps. This makes the output
-            # independent of when the surrounding while_loop exits
-            # (which depends on OTHER rays' step counts) — required for
-            # the compaction cascade to be bit-identical, and makes the
-            # march deterministic w.r.t. batch composition in general.
-            active = e[3]
-            return (consts, (*new_state, vids_cur, pos_cur, depth)), (
-                e[0],
-                e[1],
-                jnp.where(active[:, None], e[4], 0.0),
-                jnp.where(active[:, None], pos_cur, 0),
-                jnp.where(active, new_vid, 0),
-                # Explicit entry distance: equals the previous exit for
-                # a contiguous march (``t`` is the carried exit), and
-                # stays exact once re-skips introduce gaps.
-                jnp.where(active, t, jnp.inf),
+            width = state[0].shape[0]
+            row2 = table2[jnp.maximum(state[0], 0)][:, :125].reshape(
+                width, 5, 25
             )
-
-        pos0 = jnp.broadcast_to(
-            jnp.arange(4, dtype=jnp.int32)[None, :], (num_rays, 4)
-        )
-        state = (
-            entry_cell,
-            t_entry,
-            ~hit,
-            vids0,
-            pos0,
-            jnp.zeros(num_rays, jnp.float32),  # accumulated optical depth
-        )
-        consts = (origins, directions, t_cap)
-
-        # Early-exit march: a while_loop over CHUNK-step scan blocks that
-        # stops once EVERY ray is done, so the sequential-gather chain
-        # tracks the batch's actual max crossing count instead of the
-        # worst-case bound (the bound is a safety cap, often 1.5-2x the
-        # batch max after tuning; for eval/render it defaults to 512).
-        # Untouched buffer tails keep the exact padding the scan would
-        # have emitted (cells=-1, t=inf, bary/pos/vid=0).
-        chunk = min(16, max_steps)
-        n_chunks = -(-max_steps // chunk)
-        total = n_chunks * chunk
-
-        def body(carry):
-            i, consts, state, bufs = carry
-            xs = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            (consts, state), outs = jax.lax.scan(step, (consts, state), xs)
-            # Buffers are STEP-major ([total, W, ...]): the scan's
-            # [chunk, W, ...] block lands with one contiguous
-            # dynamic_update_slice and NO per-chunk transpose — the
-            # [chunk, W] -> [W, chunk] relayouts cost ~1.4 ms/step at
-            # [8K, 256] (4 Mosaic sublane/lane swaps per chunk, traced);
-            # one big [total, W] -> [W, total] transpose per march pays
-            # the same bytes at full-tile efficiency instead.
-            start = i * chunk
-            bufs = tuple(
-                jax.lax.dynamic_update_slice(
-                    buf,
-                    o.astype(buf.dtype),
-                    (start,) + (0,) * (buf.ndim - 1),
-                )
-                for buf, o in zip(bufs, outs)
+            state, emitA, k1 = substep(state, row2[:, 0], 2 * i, consts)
+            # Second hop's block selected by the first hop's exit
+            # face — a 4-way one-hot compare-sum over the already-
+            # fetched row, NOT a gather (see the hop() comment).
+            # The select runs in INTEGER bit-space: the row's
+            # neighbor/vertex-id columns are bit-cast int32s whose
+            # float values are denormals (ids < 2^23), and float
+            # arithmetic flushes denormals to zero — an f32 one-hot
+            # sum silently rewrites every small cell id to 0.
+            oh = jnp.arange(4, dtype=jnp.int32)[None, :] == k1[:, None]
+            bits = jax.lax.bitcast_convert_type(row2[:, 1:], jnp.int32)
+            rowB = jax.lax.bitcast_convert_type(
+                jnp.sum(jnp.where(oh[:, :, None], bits, 0), axis=1),
+                jnp.float32,
             )
-            return i + 1, consts, state, bufs
-
-        # Per-ray compaction cascade: the march cost is the sequential
-        # row-gather chain, width x steps rows. A batch-synchronized loop
-        # pays the batch MAX step count for every ray; here, once at most
-        # half the rays are still marching, the active rays are permuted
-        # into a dense prefix and the march continues at half width
-        # (repeat ``compact_stages`` times). Output rows carry their full
-        # history (each stage's buffers start as a row-gather of the
-        # parent's), so a final row-scatter per stage reassembles the
-        # exact uncompacted result. Rays dropped while still active
-        # (budget exhausted mid-cascade) keep done=False and surface in
-        # ``overflow``.
-        widths = [num_rays]
-        while len(widths) - 1 < compact_stages:
-            nxt = int(widths[-1] * compact_ratio)
-            nxt = max(nxt // 128 * 128, max(chunk, 64))
-            if nxt >= widths[-1]:
-                break
-            widths.append(nxt)
-        n_stages = len(widths) - 1
-
-        bufs = (
-            jnp.full((total, num_rays), -1, jnp.int32),  # cells
-            jnp.full((total, num_rays), jnp.inf, jnp.float32),  # t1
-            jnp.zeros((total, num_rays, 4), jnp.float32),  # bary_exit
-            jnp.zeros((total, num_rays, 4), jnp.int32),  # stream pos
-            jnp.zeros((total, num_rays), jnp.int32),  # new vertex id
-            jnp.full((total, num_rays), jnp.inf, jnp.float32),  # t0
-        )
-        final_bufs = bufs
-        perm = jnp.arange(num_rays, dtype=jnp.int32)
-        done_full = state[2]
-        i = jnp.int32(0)
-        for s in range(n_stages + 1):
-            if s == n_stages:
-
-                def cond(carry):
-                    i, _, st, _ = carry
-                    return (i < n_chunks) & ~jnp.all(st[2])
-
-            else:
-                nxt = widths[s + 1]
-
-                def cond(carry, nxt=nxt):
-                    i, _, st, _ = carry
-                    active = jnp.sum(~st[2])
-                    return (i < n_chunks) & (active > nxt)
-
-            i, consts, state, bufs = jax.lax.while_loop(
-                cond, body, (i, consts, state, bufs)
+            state, emitB, _ = substep(state, rowB, 2 * i + 1, consts)
+            # [2, W, ...] — step-major pairs land contiguously.
+            emit = tuple(
+                jnp.stack(ab, axis=0) for ab in zip(emitA, emitB)
             )
-            if s == 0:
-                final_bufs = bufs
-                done_full = state[2]
-            else:
-                final_bufs = tuple(
-                    fb.at[:, perm].set(b) for fb, b in zip(final_bufs, bufs)
-                )
-                done_full = done_full.at[perm].set(state[2])
-            if s < n_stages:
-                nxt = widths[s + 1]
-                order = jnp.argsort(state[2].astype(jnp.int32), stable=True)
-                take = order[:nxt]
-                perm = perm[take]
-                consts = tuple(a[take] for a in consts)
-                state = tuple(a[take] for a in state)
-                bufs = tuple(b[:, take] for b in bufs)
+            return (consts, state), emit
 
-        done_final = done_full
-        # One ray-major relayout per buffer (see the body() comment).
-        cells, t1s, barys, poss, new_vids, t0s = (
-            jnp.moveaxis(b[:max_steps], 0, 1) for b in final_bufs
+    else:
+
+        def step(carry, i):
+            consts, state = carry
+            row = table[jnp.maximum(state[0], 0)]
+            state, emit, _ = substep(state, row, i, consts)
+            return (consts, state), emit
+
+    pos0 = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.int32)[None, :], (num_rays, 4)
+    )
+    state = (
+        entry_cell,
+        t_entry,
+        ~hit,
+        vids0,
+        pos0,
+        jnp.zeros(num_rays, jnp.float32),  # accumulated optical depth
+    )
+    consts = (origins, directions, t_cap)
+
+    # Early-exit march: a while_loop over CHUNK-step scan blocks that
+    # stops once EVERY ray is done, so the sequential-gather chain
+    # tracks the batch's actual max crossing count instead of the
+    # worst-case bound (the bound is a safety cap, often 1.5-2x the
+    # batch max after tuning; for eval/render it defaults to 512).
+    # Untouched buffer tails keep the exact padding the scan would
+    # have emitted (cells=-1, t=inf, bary/pos/vid=0).
+    chunk = min(16, -(-max_steps // hops))
+    n_chunks = -(-max_steps // (chunk * hops))
+    total = n_chunks * chunk * hops
+
+    def body(carry):
+        i, consts, state, bufs = carry
+        xs = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        (consts, state), outs = jax.lax.scan(step, (consts, state), xs)
+        # Buffers are STEP-major ([total, W, ...]): the scan's
+        # [chunk(, hops), W, ...] block lands with one contiguous
+        # dynamic_update_slice and NO per-chunk transpose — the
+        # [chunk, W] -> [W, chunk] relayouts cost ~1.4 ms/step at
+        # [8K, 256] (4 Mosaic sublane/lane swaps per chunk, traced);
+        # one big [total, W] -> [W, total] transpose per march pays
+        # the same bytes at full-tile efficiency instead.
+        start = i * chunk * hops
+        if hops == 2:  # [chunk, 2, W, ...] -> [chunk*2, W, ...]
+            outs = tuple(
+                o.reshape(chunk * 2, *o.shape[2:]) for o in outs
+            )
+        bufs = tuple(
+            jax.lax.dynamic_update_slice(
+                buf,
+                o.astype(buf.dtype),
+                (start,) + (0,) * (buf.ndim - 1),
+            )
+            for buf, o in zip(bufs, outs)
         )
-        vidxs = None
+        return i + 1, consts, state, bufs
+
+    # Per-ray compaction cascade: the march cost is the sequential
+    # row-gather chain, width x steps rows. A batch-synchronized loop
+    # pays the batch MAX step count for every ray; here, once at most
+    # half the rays are still marching, the active rays are permuted
+    # into a dense prefix and the march continues at half width
+    # (repeat ``compact_stages`` times). Output rows carry their full
+    # history (each stage's buffers start as a row-gather of the
+    # parent's), so a final row-scatter per stage reassembles the
+    # exact uncompacted result. Rays dropped while still active
+    # (budget exhausted mid-cascade) keep done=False and surface in
+    # ``overflow``.
+    widths = [num_rays]
+    while len(widths) - 1 < compact_stages:
+        nxt = int(widths[-1] * compact_ratio)
+        nxt = max(nxt // 128 * 128, max(chunk, 64))
+        if nxt >= widths[-1]:
+            break
+        widths.append(nxt)
+    n_stages = len(widths) - 1
+
+    bufs = (
+        jnp.full((total, num_rays), -1, jnp.int32),  # cells
+        jnp.full((total, num_rays), jnp.inf, jnp.float32),  # t1
+        jnp.zeros((total, num_rays, 4), jnp.float32),  # bary_exit
+        jnp.zeros((total, num_rays, 4), jnp.int32),  # stream pos
+        jnp.zeros((total, num_rays), jnp.int32),  # new vertex id
+        jnp.full((total, num_rays), jnp.inf, jnp.float32),  # t0
+    )
+    final_bufs = bufs
+    perm = jnp.arange(num_rays, dtype=jnp.int32)
+    done_full = state[2]
+    i = jnp.int32(0)
+    for s in range(n_stages + 1):
+        if s == n_stages:
+
+            def cond(carry):
+                i, _, st, _ = carry
+                return (i < n_chunks) & ~jnp.all(st[2])
+
+        else:
+            nxt = widths[s + 1]
+
+            def cond(carry, nxt=nxt):
+                i, _, st, _ = carry
+                active = jnp.sum(~st[2])
+                return (i < n_chunks) & (active > nxt)
+
+        i, consts, state, bufs = jax.lax.while_loop(
+            cond, body, (i, consts, state, bufs)
+        )
+        if s == 0:
+            final_bufs = bufs
+            done_full = state[2]
+        else:
+            final_bufs = tuple(
+                fb.at[:, perm].set(b) for fb, b in zip(final_bufs, bufs)
+            )
+            done_full = done_full.at[perm].set(state[2])
+        if s < n_stages:
+            nxt = widths[s + 1]
+            order = jnp.argsort(state[2].astype(jnp.int32), stable=True)
+            take = order[:nxt]
+            perm = perm[take]
+            consts = tuple(a[take] for a in consts)
+            state = tuple(a[take] for a in state)
+            bufs = tuple(b[:, take] for b in bufs)
+
+    done_final = done_full
+    # One ray-major relayout per buffer (see the body() comment).
+    cells, t1s, barys, poss, new_vids, t0s = (
+        jnp.moveaxis(b[:max_steps], 0, 1) for b in final_bufs
+    )
 
     # Geometry is not differentiated (the reference likewise optimizes the
     # field only); stopping gradients here keeps autodiff from replaying
@@ -550,32 +566,24 @@ def march_features(
     all_bary = jax.lax.stop_gradient(
         jnp.where(all_valid[..., None], all_bary, 0.0)
     )
-    feats = stream = None
-    if vidxs is not None:
-        if field is not None:
-            # Two-hop path: endpoint features by direct 4-row gather.
-            all_vidx = jnp.concatenate([vids0[:, None], vidxs], axis=1)
-            all_vidx = jax.lax.stop_gradient(all_vidx)
-            gathered = field[jnp.maximum(all_vidx, 0)]  # [R, T+1, 4, F]
-            feats = jnp.sum(all_bary[..., None] * gathered, axis=-2)
-    else:
-        stream = MarchStream(
-            *jax.lax.stop_gradient(
-                (
-                    jnp.concatenate([vids0, new_vids], axis=1),
-                    jnp.concatenate([pos0[:, None, :], poss], axis=1),
-                )
-            ),
-            bary=all_bary,
-        )
-        if field is not None:
-            feats = endpoint_features(
-                field,
-                stream,
-                counts=num_valid + 4,
-                grad_budget=grad_stream_budget,
-                stream_dtype=stream_dtype,
+    feats = None
+    stream = MarchStream(
+        *jax.lax.stop_gradient(
+            (
+                jnp.concatenate([vids0, new_vids], axis=1),
+                jnp.concatenate([pos0[:, None, :], poss], axis=1),
             )
+        ),
+        bary=all_bary,
+    )
+    if field is not None:
+        feats = endpoint_features(
+            field,
+            stream,
+            counts=num_valid + 4,
+            grad_budget=grad_stream_budget,
+            stream_dtype=stream_dtype,
+        )
     return FusedMarch(
         cells=cells,
         t1=t1s,

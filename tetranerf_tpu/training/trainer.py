@@ -244,10 +244,8 @@ class Trainer:
         # executable (hundreds of MB of HLO). The fused hops=1 path reads
         # only the packed march table + hull arrays, so the device copy
         # is slimmed (~40% fewer mesh bytes per device).
-        device_mesh_tables = (
-            model.mesh
-            if model.config.traversal_hops == 2
-            else model.mesh.slim()
+        device_mesh_tables = model.mesh.slim(
+            keep_two_hop=model.config.traversal_hops == 2
         )
         self.mesh_tables = put_replicated(
             device_mesh_tables, self.device_mesh
@@ -528,10 +526,22 @@ class Trainer:
             dst = Format(Layout((0, 1)), self._rep)
         except ImportError:  # older jax: accept the per-step copies
             dst = self._rep
-        self.mesh_tables = dataclasses.replace(
-            self.mesh_tables,
-            march_table=jax.device_put(updated, dst),
-        )
+        repl = {"march_table": jax.device_put(updated, dst)}
+        if self.mesh_tables.march_table2.shape[0]:
+            # Two-hop rows carry every block's occupancy column: own
+            # (col 24) + the 4 neighbors' (cols 25k+24, via a [C, 4]
+            # gather of the EMA — amortized over the update cadence).
+            safe_nbr = jnp.maximum(
+                jnp.asarray(self.mesh_tables.neighbors), 0
+            )
+            t2 = jnp.asarray(self.mesh_tables.march_table2).at[:, 24].set(
+                self._occ
+            )
+            nbr_occ = self._occ[safe_nbr]
+            for k in range(4):
+                t2 = t2.at[:, 25 * (k + 1) + 24].set(nbr_occ[:, k])
+            repl["march_table2"] = jax.device_put(t2, dst)
+        self.mesh_tables = dataclasses.replace(self.mesh_tables, **repl)
         self._march_version += 1
 
     def _ensure_occ(self):
