@@ -109,6 +109,14 @@ class TetrahedraNerfConfig:
     contributions there are behind the termination threshold or empty
     space, and every truncated ray is still counted in
     ``overflow_rays``."""
+    occ_cap_margin: float = 1.2
+    """Headroom factor on the calibrated march-termination depth cap.
+    The estimator's bias grows as the surface sharpens, so the cap must
+    survive the drift WITHIN a retune interval (measured: the
+    calibrated cap rose ~15% per 128-step interval on the 20k
+    image-path run); the trainer additionally takes the max over the
+    last 3 probes. Cost of a larger margin: deeper march overshoot
+    before termination — throughput, never quality."""
     occ_cap_percentile: float = 99.9
     """``est_at`` percentile the march-termination depth cap calibrates
     to (``Trainer.retune_with_transmittance``: cap = 1.1x this

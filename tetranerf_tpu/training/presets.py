@@ -70,7 +70,13 @@ def tetranerf_preset(**overrides) -> TrainConfig:
             # reference has no counterpart — its occupancy buffer is
             # never read, ``model.py:256-265``).
             use_occupancy_field=True,
-            occupancy_retune_percentile=99.0,
+            # 100 = the main bound covers the deepest ray's EMITTED
+            # count (quantile bucketing already keeps the tail's cost
+            # off the shallow buckets). 99 truncated the top 1% of
+            # rays below their true need on the image-path run —
+            # emitted counts rank by need + estimator-bias overshoot,
+            # so the cut 1% is not reliably the invisible tail.
+            occupancy_retune_percentile=100.0,
             # Termination margin: at 1e-3 the march's estimated depth
             # terminates rays whose TRUE remaining transmittance is
             # still visible (estimator variance) — measured train-loss

@@ -73,6 +73,32 @@ def _quantile_bucket_stats(
     )
 
 
+def _ranked_chunk_stats(
+    key: np.ndarray, value: np.ndarray, k_buckets: int, percentile: float
+) -> tuple:
+    """Per-chunk statistics of ``value`` with rays RANKED BY ``key``.
+
+    The bucketed shading sorts rays by the march's EMITTED crossing
+    count (``key``), so chunk membership must follow that ranking —
+    but each chunk's bound is sized from its members' TRUE-need
+    crossing counts (``value``, the transmittance probe's nv_eff).
+    ``value <= key`` for every ray the termination cap protects, so
+    this is as tight as pure need-based sizing while staying
+    consistent with the sort: sizing chunks from need ALONE while
+    ranking by emitted counts truncated VISIBLE content (high-
+    estimator-bias rays emit few crossings, rank shallow, and were
+    cut below their own need — the 20k image-path decay)."""
+    order = np.argsort(key, kind="stable")
+    n = order.size
+    return tuple(
+        float(np.percentile(
+            value[order[n * k // k_buckets : n * (k + 1) // k_buckets]],
+            percentile,
+        ))
+        for k in range(k_buckets)
+    )
+
+
 def _bounds_from_stats(stats, full: int, margin: float = 1.15) -> tuple:
     """Inner bounds (len ``K - 1``) from the first K-1 chunk statistics:
     small margin on a fine (multiple-of-8) grid — see
@@ -750,6 +776,28 @@ class Trainer:
         self._nv_eff = jax.jit(probe, out_shardings=self._rep)
         return self._nv_eff
 
+    def _march_nv_fn(self):
+        """Jitted probe of the march's EMITTED crossing counts at the
+        full config bound under the current (traced) termination cap —
+        the distribution the bucketed shading both sorts and bounds by."""
+        if getattr(self, "_march_nv", None) is not None:
+            return self._march_nv
+        from ..ops.fused import march_features
+
+        cfg = self.model.config
+
+        def probe(m, o, d, occ_cap):
+            return march_features(
+                m, None, o, d, cfg.max_intersected_triangles,
+                hops=cfg.traversal_hops,
+                use_occupancy=cfg.use_occupancy_field,
+                occ_threshold=cfg.occupancy_threshold,
+                occ_depth_cap=occ_cap,
+            ).num_valid
+
+        self._march_nv = jax.jit(probe, out_shardings=self._rep)
+        return self._march_nv
+
     def retune_with_transmittance(self, batch: Dict[str, np.ndarray]) -> int:
         """Size the static traversal bound from the model's OWN optical
         depth: per ray, count crossings up to the sample where the
@@ -779,14 +827,42 @@ class Trainer:
         # never recompiles.
         est_at = np.asarray(est_at)
         floor = float(-np.log(cfg.occupancy_threshold))
-        self._occ_cap = max(
+        cap_now = max(
             floor,
-            1.1 * float(np.percentile(est_at, cfg.occ_cap_percentile)),
+            cfg.occ_cap_margin
+            * float(np.percentile(est_at, cfg.occ_cap_percentile)),
         )
+        # Drift guard: the estimator's bias GROWS as the surface
+        # sharpens, so a cap sized from this probe alone can be
+        # overtaken mid-interval (measured on the 20k image-path run:
+        # the calibrated cap rose ~15% per 128-step interval while eval
+        # PSNR decayed). Take the max over the last 3 probes — the cap
+        # only ratchets down once three consecutive probes agree the
+        # bias has genuinely receded.
+        hist = (getattr(self, "_cap_history", []) + [cap_now])[-3:]
+        self._cap_history = hist
+        self._occ_cap = max(hist)
         self._occ_cap_dev = jax.device_put(
             jnp.float32(self._occ_cap), self._rep
         )
         self._march_version += 1  # cap change alters march termination
+        # Bucket-bound statistics: rays RANKED by the march's EMITTED
+        # crossing count under the just-recalibrated cap (the key the
+        # bucketed shading sorts by), each chunk SIZED by its members'
+        # TRUE-need counts (nv_eff). Ranking chunks by nv_eff alone
+        # while the shading sorts by emitted counts truncated VISIBLE
+        # content — the emitted count is need + overshoot, and the
+        # overshoot SHRINKS as a ray's estimator bias grows, so
+        # high-bias rays ranked shallow and were cut below their own
+        # need (measured: the 20k image-path run's eval PSNR decayed
+        # 29.9 -> 27.6 between 2.5k and 5k steps as the bias spread
+        # widened; fixed by this pairing).
+        nv_m = np.asarray(
+            self._march_nv_fn()(
+                self.mesh_tables, o, d, self._occ_cap_dev
+            )
+        )
+        k_buckets = max(cfg.ray_buckets, 1)
         # Cross-retune smoothing: every statistic below is taken as the
         # elementwise MAX over the last 3 probes. A single deep probe
         # still GROWS any bound immediately (truncation must self-heal),
@@ -796,30 +872,46 @@ class Trainer:
         # fresh static shape (a recompile) in a long run.
         raw = (
             float(np.percentile(nv, cfg.occupancy_retune_percentile)),
-        ) + _quantile_bucket_stats(
-            nv, max(cfg.ray_buckets, 1), cfg.occupancy_retune_percentile
+            # Tie guard: num_valid clamps at the main bound, and rays
+            # tied there sort arbitrarily — the main bound must cover
+            # the top chunk's emitted range so ties cannot spill into
+            # shallower buckets (whose bounds would then cut below
+            # need).
+            float(np.percentile(nv_m, 100.0 * (k_buckets - 1) / k_buckets)),
+        ) + _ranked_chunk_stats(
+            nv_m, nv, k_buckets, cfg.occupancy_retune_percentile
         )
         hist = getattr(self, "_retune_stats", [])
         hist = ([h for h in hist if len(h) == len(raw)] + [raw])[-3:]
         self._retune_stats = hist
         smoothed = tuple(max(col) for col in zip(*hist))
         observed = int(smoothed[0])
-        chunk_stats = smoothed[1:]
+        tie_b = smoothed[1]
+        chunk_stats = smoothed[2:]
         cur = self.tuned_max_steps or cfg.max_intersected_triangles
-        bound = min(cfg.max_intersected_triangles, _rounded_bound(observed))
         if cfg.ray_buckets >= 2 and cfg.bucket_short_steps is None:
             # With quantile bucketing the DEEPEST bucket shades at the
             # main bound, so size it like the inner bounds: from the top
-            # quantile chunk's own percentile with the small bucket
-            # margin, instead of 1.5x the batch p99 on the coarse grid
-            # (which left the top bucket pinned at the config cap —
-            # [R, 256]-shaped streams/one-hots for a chunk whose p99 is
-            # ~180). Same exposure policy as every bucket bound: rays
-            # beyond it surface in ``overflow_rays`` and growth is
-            # accepted immediately at the next retune.
-            bound = min(bound, max(16, _inner_bound(
-                chunk_stats[-1], cfg.bucket_bound_margin
-            )))
+            # quantile chunk's own need percentile with the small bucket
+            # margin (instead of 1.5x the batch p99 on the coarse grid,
+            # which left the top bucket pinned at the config cap) — but
+            # never below the tie guard: ``num_valid`` clamps at the
+            # main bound, rays tied there sort ARBITRARILY, and if more
+            # than R/K rays tie the spill lands in shallower buckets
+            # whose bounds can cut below need. The guard keeps the main
+            # bound above the top chunk's emitted-range floor so at
+            # most ~R/K rays can ever tie. Same exposure policy as
+            # every bucket bound: rays beyond it surface in
+            # ``overflow_rays`` and growth is accepted immediately.
+            bound = min(cfg.max_intersected_triangles, max(
+                16,
+                _inner_bound(chunk_stats[-1], cfg.bucket_bound_margin),
+                _inner_bound(tie_b, cfg.bucket_bound_margin),
+            ))
+        else:
+            bound = min(
+                cfg.max_intersected_triangles, _rounded_bound(observed)
+            )
         changed = False
         if bound < cur - 16 or bound > cur:
             self.tuned_max_steps = bound
@@ -872,8 +964,10 @@ class Trainer:
             f"# retune@{self._step_count}: bound={self.tuned_max_steps} "
             f"buckets={self.tuned_bucket_steps} "
             f"occ_cap={self._occ_cap:.1f} (floor {floor:.1f}) "
-            f"nv p50/p99={int(np.percentile(nv, 50))}/"
-            f"{int(np.percentile(nv, 99))}",
+            f"nv_eff p50/p99={int(np.percentile(nv, 50))}/"
+            f"{int(np.percentile(nv, 99))} "
+            f"nv_march p50/p99={int(np.percentile(nv_m, 50))}/"
+            f"{int(np.percentile(nv_m, 99))}",
             file=sys.stderr,
         )
         return full
