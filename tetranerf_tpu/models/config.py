@@ -207,19 +207,24 @@ class TetrahedraNerfConfig:
     the depth-sorted viewer refine (``Trainer.adaptive_budget``)."""
     traversal_hops: int = 1
     """Cells advanced per sequential gather in the marcher (1 or 2; 2
-    needs ``build_mesh(two_hop_table=True)``). Measured neutral on v5e —
-    the march is gather-throughput-bound, not latency-bound — kept for
-    hardware where the balance differs."""
-    march_compaction: int = 2
-    """Per-ray compaction stages in the march (hops=1): each time at
-    most half the rays are still marching, actives are packed into a
-    dense prefix and the march continues at half width. Bit-identical
+    needs ``build_mesh(two_hop_table=True)``, 2x march-table memory).
+    The march is row-COUNT-bound and 128-float rows gather at the same
+    row rate as 64-float rows (r5 width sweep), so two-hop halves the
+    march's gather-chain rows; outputs are bit-identical (the full
+    flagship semantics — occupancy, stream dedup, compaction — run
+    per hop)."""
+    march_compaction: int = 4
+    """Per-ray compaction stages in the march: each time at most
+    ``march_compact_ratio`` of the rays are still marching, actives are
+    packed into a dense prefix and the march continues at the narrower
+    width. Bit-identical
     output; converts per-ray early termination (occupancy, short chords,
     missed rays) into wall-clock. 0 disables."""
-    march_compact_ratio: float = 0.5
+    march_compact_ratio: float = 0.7
     """Width ratio between consecutive compaction stages (rounded to
-    multiples of 128). 0.5 = halving. Ratios like 0.7 compact earlier
-    and more often — the march pays ``width`` rows per step while only
+    multiples of 128). Finer ratios (0.7, the measured r5 default with
+    4 stages: 70.5 -> 69.7 ms/step warm) compact earlier and more
+    often — the march pays ``width`` rows per step while only
     ``active`` rays live, so a finer staircase hugs the alive curve at
     the cost of one more while_loop per stage in the executable (raise
     ``march_compaction`` accordingly: stages to reach a floor w_min
