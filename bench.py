@@ -118,16 +118,18 @@ def main():
         sample_rays = synth.sample_sphere_rays
         ray_targets = synth.sphere_ray_targets
 
+    config = tetranerf_preset()
     t0 = time.perf_counter()
     points, colors = make_scene(args.points, seed=0)
-    mesh = build_mesh(points, two_hop_table=False)
+    mesh = build_mesh(
+        points, two_hop_table=config.model.traversal_hops == 2
+    )
     print(
         f"# mesh: {mesh.num_vertices} vertices, {mesh.num_cells} cells "
         f"(built in {time.perf_counter() - t0:.1f}s) on {jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
-    config = tetranerf_preset()
     config.model.num_samples = args.num_samples
     config.model.num_fine_samples = args.num_samples
     config.model.max_intersected_triangles = args.max_steps
