@@ -861,3 +861,42 @@ def test_occupancy_survives_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tr2.mesh_tables.march_table[:, 24]), occ
     )
+
+
+def test_fit_prefetch_preserves_batch_order_and_results(scene):
+    """The prefetching fit loop must consume batches in exactly the
+    synchronous order (one producer owns the rng) and produce the same
+    final loss."""
+    mesh, colors = scene
+    from tetranerf_tpu.training import Trainer, tetranerf_preset
+
+    losses = {}
+    for prefetch in (0, 2):
+        config = tetranerf_preset()
+        config.model = _small_config(
+            num_samples=8, num_fine_samples=8,
+            max_intersected_triangles=48, field_dim=8, hidden_size=16,
+        )
+        model = TetraNerf(config.model, mesh)
+        trainer = Trainer(config, model, point_colors=colors)
+        rng = np.random.default_rng(5)
+        seen = []
+
+        def next_batch(i, rng=rng, seen=seen):
+            seen.append(i)
+            o, d = sample_sphere_rays(rng, 32)
+            return {
+                "origins": o, "directions": d,
+                "rgb": sphere_ray_targets(o, d),
+            }
+
+        logs = []
+        trainer.fit(
+            next_batch, num_iterations=5, log_every=1,
+            log_fn=logs.append, prefetch=prefetch,
+        )
+        assert seen == [0, 1, 2, 3, 4]
+        losses[prefetch] = float(
+            trainer.train_step(next_batch(5))["loss"]
+        )
+    assert np.isclose(losses[0], losses[2], rtol=1e-6), losses

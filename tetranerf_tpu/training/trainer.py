@@ -1429,12 +1429,74 @@ class Trainer:
         log_fn=print,
         eval_fn: Optional[Callable[[int, "Trainer"], None]] = None,
         eval_every: Optional[int] = None,
+        prefetch: int = 2,
     ):
         """Training loop. ``eval_fn(step, trainer)`` runs every
         ``eval_every`` steps (defaults to the config's
-        ``steps_per_eval_batch``, reference ``registration.py:34-36``)."""
+        ``steps_per_eval_batch``, reference ``registration.py:34-36``).
+
+        ``prefetch`` batches are assembled on a background thread while
+        the device executes (the 20k image-path run fed at 13-18k
+        rays/s HOST-bound on synchronous pixel-batch assembly, device
+        mostly idle). Batch order and rng consumption are identical to
+        the synchronous loop — one producer owns ``next_batch``; 0
+        disables."""
         num_iterations = num_iterations or self.config.max_num_iterations
         eval_every = eval_every or self.config.steps_per_eval_batch
+
+        if prefetch and num_iterations > 1:
+            import queue as _queue
+            import threading as _threading
+
+            q: _queue.Queue = _queue.Queue(maxsize=prefetch)
+            stop = _threading.Event()
+
+            def _produce():
+                try:
+                    for j in range(num_iterations):
+                        b = next_batch(j)  # exactly once per step
+                        while not stop.is_set():
+                            try:
+                                q.put(b, timeout=0.5)
+                                break
+                            except _queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                except BaseException as e:  # re-raised by the consumer
+                    q.put(e)
+
+            producer = _threading.Thread(target=_produce, daemon=True)
+            producer.start()
+
+            def get_batch(_):
+                b = q.get()
+                if isinstance(b, BaseException):
+                    raise b
+                return b
+
+        else:
+            stop = None
+            get_batch = next_batch
+
+        try:
+            self._fit_loop(
+                get_batch, num_iterations, log_every, log_fn, eval_fn,
+                eval_every,
+            )
+        finally:
+            if stop is not None:
+                stop.set()
+                while not q.empty():  # unblock a producer waiting on put
+                    try:
+                        q.get_nowait()
+                    except _queue.Empty:
+                        break
+
+    def _fit_loop(
+        self, next_batch, num_iterations, log_every, log_fn, eval_fn,
+        eval_every,
+    ):
         t0 = t_start = time.perf_counter()
         rays_per_batch = None
         steps_at_t0 = 0
