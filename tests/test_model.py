@@ -900,3 +900,72 @@ def test_fit_prefetch_preserves_batch_order_and_results(scene):
             trainer.train_step(next_batch(5))["loss"]
         )
     assert np.isclose(losses[0], losses[2], rtol=1e-6), losses
+
+
+def test_retune_bounds_cover_need_under_biased_estimator(scene):
+    """The quality invariant behind the r5 slow-decay fix: with a
+    per-cell BIASED estimator (the EMA's real failure mode), the
+    retuned bucket bounds must keep every probe ray's KEPT intervals
+    >= its TRUE need — rays are ranked by the march's emitted count,
+    so each emitted-ranked chunk's bound must cover its members' need,
+    not the need-quantiles of a differently-ordered population."""
+    import dataclasses as dc
+
+    mesh, colors = scene
+    config = tetranerf_preset()
+    config.model = _small_config(
+        max_intersected_triangles=96, use_occupancy_field=True,
+        occupancy_retune_every=0, ray_buckets=4,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(7)
+    o, d = sample_sphere_rays(rng, 128)
+    batch = {"origins": o, "directions": d, "rgb": sphere_ray_targets(o, d)}
+    for _ in range(3):
+        trainer.train_step(batch)
+
+    # Per-cell multiplicative bias in [0.2, 5]: emitted counts then rank
+    # by need + a bias-dependent overshoot, the regression's trigger.
+    occ_rng = np.random.default_rng(3)
+    dens = np.asarray(
+        trainer.mesh_tables.march_table[:, 24]
+    )  # EMA after the warmup updates
+    bias = occ_rng.uniform(0.2, 5.0, size=dens.shape).astype(np.float32)
+    trainer.mesh_tables = dc.replace(
+        trainer.mesh_tables,
+        march_table=jnp.asarray(trainer.mesh_tables.march_table)
+        .at[:, 24]
+        .set(jnp.asarray(np.maximum(dens, 0.05) * bias)),
+    )
+    trainer.retune_with_transmittance(batch)
+    bounds = model._bucket_bounds(
+        trainer.tuned_max_steps or config.model.max_intersected_triangles,
+        None,
+        trainer.tuned_bucket_steps,
+    )
+
+    # Fresh batch: emulate the bucketed shading's assignment exactly
+    # (sort by emitted count, K equal chunks) and check kept >= need.
+    o2, d2 = sample_sphere_rays(np.random.default_rng(11), 128)
+    nv_eff, _ = trainer._nv_eff_fn()(
+        trainer.state.params, jnp.asarray(o2), jnp.asarray(d2),
+        trainer.mesh_tables,
+    )
+    nv_march = trainer._march_nv_fn()(
+        trainer.mesh_tables, jnp.asarray(o2), jnp.asarray(d2),
+        trainer._occ_cap_dev,
+    )
+    nv_eff = np.asarray(nv_eff)
+    nv_march = np.minimum(np.asarray(nv_march), bounds[-1])
+    order = np.argsort(nv_march, kind="stable")
+    K = len(bounds)
+    n = len(order)
+    kept_ok = 0
+    for k in range(K):
+        idx = order[n * k // K : n * (k + 1) // K]
+        kept = np.minimum(nv_march[idx], bounds[k])
+        kept_ok += int(np.sum(kept >= np.minimum(nv_eff[idx], bounds[-1])))
+    # >= 95% of rays keep their full true need (margin jitter between
+    # the probe batch and this fresh batch accounts for the rest).
+    assert kept_ok >= 0.95 * n, (kept_ok, n, bounds)
