@@ -969,3 +969,33 @@ def test_retune_bounds_cover_need_under_biased_estimator(scene):
     # >= 95% of rays keep their full true need (margin jitter between
     # the probe batch and this fresh batch accounts for the rest).
     assert kept_ok >= 0.95 * n, (kept_ok, n, bounds)
+
+
+def test_last_sample_background(scene):
+    """background_color='last_sample' (a documented config option the
+    reference supports) must run on the plain, bucketed, and merged
+    forward paths — it previously crashed in _background before the
+    override could apply."""
+    mesh, colors = scene
+    for extra in (
+        {},
+        {"ray_buckets": 2, "bucket_short_steps": 24},
+        {"ray_buckets": 2, "bucket_short_steps": 24,
+         "bucket_merge_mlps": True},
+    ):
+        model = TetraNerf(
+            _small_config(
+                num_fine_samples=8, background_color="last_sample", **extra
+            ),
+            mesh,
+        )
+        params = model.init_params(
+            jax.random.PRNGKey(0), point_colors=colors
+        )
+        rng = np.random.default_rng(9)
+        o, d = sample_sphere_rays(rng, 32)
+        out = model.get_outputs(
+            params, RayBundle(jnp.asarray(o), jnp.asarray(d)),
+            rng=jax.random.PRNGKey(1), train=True,
+        )
+        assert np.isfinite(np.asarray(out["rgb"])).all()

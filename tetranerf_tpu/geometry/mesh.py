@@ -121,12 +121,11 @@ class TetrahedraMesh:
         table = _jnp.asarray(self.march_table).at[:, 24].set(occ)
         kwargs = {"march_table": table}
         if self.march_table2.shape[0]:
-            safe_nbr = _jnp.maximum(_jnp.asarray(self.neighbors), 0)
-            t2 = _jnp.asarray(self.march_table2).at[:, 24].set(occ)
-            nbr_occ = occ[safe_nbr]  # [C, 4]
-            for k in range(4):
-                t2 = t2.at[:, 25 * (k + 1) + 24].set(nbr_occ[:, k])
-            kwargs["march_table2"] = t2
+            kwargs["march_table2"] = _two_hop_occ_update()(
+                _jnp.asarray(self.march_table2),
+                occ,
+                _jnp.asarray(self.neighbors),
+            )
         return _dc.replace(self, **kwargs)
 
     def on_device(self) -> "TetrahedraMesh":
@@ -280,24 +279,31 @@ def compute_planes(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
         # jittered complex is a consistent global geometry, so
         # forwarding between singular cells is acyclic by construction.
         m = m.copy()
-        idx = np.nonzero(singular)[0]
+        all_idx = np.nonzero(singular)[0]
+        idx = all_idx
         sc = float(np.abs(v).max()) or 1.0
         eps = 1e-7
         for _ in range(8):
-            vid = cells[idx]  # [N, 4] global vertex ids
+            # Re-jitter EVERY singular cell at the current eps, not just
+            # the still-singular subset: two adjacent singular cells
+            # resolving in different rounds would otherwise see
+            # different jittered positions for their SHARED vertices,
+            # making their face planes disagree — the A->B->A ping-pong
+            # the per-vertex hash exists to rule out.
+            vid = cells[all_idx]  # [N, 4] global vertex ids
             jit = np.stack(
                 [_hash_unit(vid, salt) for salt in range(3)], axis=-1
             )  # [N, 4, 3] in [-1, 1], a pure function of vertex id
-            vj = v[idx] + eps * sc * jit
+            vj = v[all_idx] + eps * sc * jit
             mj = np.concatenate([vj, np.ones_like(vj[..., :1])], axis=-1)
             mj = np.swapaxes(mj, -1, -2)
-            m[idx] = mj
-            still = np.abs(np.linalg.det(mj)) <= (
-                1e-14 * np.maximum(edge[idx], 1e-30) ** 3
+            m[all_idx] = mj
+            still_all = np.abs(np.linalg.det(mj)) <= (
+                1e-14 * np.maximum(edge[all_idx], 1e-30) ** 3
             )
-            if not still.any():
+            idx = all_idx[still_all]
+            if not len(idx):
                 break
-            idx = idx[still]
             eps *= 10.0
         else:  # pathological (e.g. 4 identical points): sentinel that
             # is never "inside" and never an exit (ray terminates there;
@@ -308,6 +314,32 @@ def compute_planes(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
             return planes.astype(np.float32)
     planes = np.linalg.inv(m)
     return planes.astype(np.float32)
+
+
+_TWO_HOP_OCC_UPDATE = None
+
+
+def _two_hop_occ_update():
+    """Jitted single-materialization write of every two-hop block's
+    occupancy column (own col 24 + the 4 neighbor blocks' cols
+    ``25k + 24`` carrying the NEIGHBORS' values) — the ONE place that
+    knows the block layout; ``TetrahedraMesh.with_occupancy`` and the
+    trainer's periodic column write both route through it."""
+    global _TWO_HOP_OCC_UPDATE
+    if _TWO_HOP_OCC_UPDATE is None:
+        import jax
+        import jax.numpy as jnp
+
+        def update(t2, occ, neighbors):
+            safe = jnp.maximum(neighbors, 0)
+            vals = jnp.concatenate([occ[:, None], occ[safe]], axis=1)
+            cols = jnp.array([24, 49, 74, 99, 124], jnp.int32)
+            return t2.at[:, cols].set(vals)
+
+        # No donation: ``with_occupancy`` returns a NEW mesh and the
+        # caller's old mesh must stay valid.
+        _TWO_HOP_OCC_UPDATE = jax.jit(update)
+    return _TWO_HOP_OCC_UPDATE
 
 
 def _hash_unit(idx: np.ndarray, salt: int) -> np.ndarray:

@@ -119,9 +119,10 @@ class TetrahedraNerfConfig:
     before termination — throughput, never quality."""
     occ_cap_percentile: float = 99.9
     """``est_at`` percentile the march-termination depth cap calibrates
-    to (``Trainer.retune_with_transmittance``: cap = 1.1x this
-    percentile of the ESTIMATED depth at each probe ray's TRUE
-    exhaustion point). 99.9 = the round-3 quality-first setting: fewer
+    to (``Trainer.retune_with_transmittance``: cap = ``occ_cap_margin``
+    x this percentile of the ESTIMATED depth at each probe ray's TRUE
+    exhaustion point, then maxed over the last 3 probes — the drift
+    guard). 99.9 = the round-3 quality-first setting: fewer
     than 0.1% of rays can terminate with more than ``threshold``
     transmittance left. Lower percentiles trade bounded light loss for
     march length: at 99, rays in the 99-99.9 band are cut with

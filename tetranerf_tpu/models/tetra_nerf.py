@@ -653,24 +653,24 @@ class TetraNerf:
             if b["bundle"].camera_indices is not None
             else None
         )
-        any_fine = any(b["nf"] > 0 for b in B)
-        if any_fine:
+        # Buckets with a zero fine budget shade their coarse samples
+        # directly — they take no part in the coarse-density/PDF round.
+        Bf = [b for b in B if b["nf"] > 0]
+        if Bf:
             # Phase B: ONE merged coarse density pass (stop-gradiented —
             # the coarse round only shapes the PDF, as in _forward).
-            shapes = [tuple(b["fv"].shape[:2]) for b in B]
+            shapes = [tuple(b["fv"].shape[:2]) for b in Bf]
             flat, dirs, cams = flatten(
-                [b["fv"] for b in B],
-                [dirs_of(b, s) for b, (_, s) in zip(B, shapes)],
-                [cams_of(b, s) for b, (_, s) in zip(B, shapes)],
+                [b["fv"] for b in Bf],
+                [dirs_of(b, s) for b, (_, s) in zip(Bf, shapes)],
+                [cams_of(b, s) for b, (_, s) in zip(Bf, shapes)],
             )
             dens_flat = self._density_mlp(
                 sg(params), sg(flat), dirs, cams, train
             )
             dens = split(dens_flat[:, 0], shapes)
             # Phase C: per-bucket PDF resample + fine interpolation.
-            for b, d_c in zip(B, dens):
-                if b["nf"] == 0:  # this bucket shades its coarse samples
-                    continue
+            for b, d_c in zip(Bf, dens):
                 d_c = d_c.reshape(b["dist"].shape)
                 d_c = jnp.where(b["smask"], d_c, 0.0)
                 weights_c = render_weights(d_c, b["deltas"])
@@ -715,9 +715,10 @@ class TetraNerf:
                 rgb, density = _gradient_scaler(rgb, density, scaling)
             weights = render_weights(density, b["deltas"])
             num_rays_k = b["bundle"].origins.shape[0]
-            background = self._background(b["k_bg"], num_rays_k)
             if cfg.background_color == "last_sample":
                 background = rgb[:, -1, :]
+            else:
+                background = self._background(b["k_bg"], num_rays_k)
             rgb_out, acc, depth = render_rgb_depth_acc(
                 weights,
                 rgb,
@@ -890,9 +891,10 @@ class TetraNerf:
             rgb, density = _gradient_scaler(rgb, density, scaling)
 
         weights = render_weights(density, deltas)
-        background = self._background(k_bg, num_rays)
         if cfg.background_color == "last_sample":
             background = rgb[:, -1, :]
+        else:
+            background = self._background(k_bg, num_rays)
         rgb_out, acc, depth = render_rgb_depth_acc(
             weights,
             rgb,

@@ -245,7 +245,16 @@ def main(argv=None):
         "retune_percentile": "occupancy_retune_percentile",
     }
     for alias, field in _ALIAS_TO_MODEL_FIELD.items():
-        alias_set = getattr(args, alias, None) not in (None, False)
+        v = getattr(args, alias, None)
+        # store_true aliases (--occupancy/--no-occupancy) are "set" only
+        # when True; value aliases are set whenever non-None — `v not in
+        # (None, False)` would treat an explicit 0 as unset (0 == False)
+        # and let --model.* silently win, the exact bug this guard
+        # exists to catch.
+        if alias in ("occupancy", "no_occupancy"):
+            alias_set = v is True
+        else:
+            alias_set = v is not None
         twin_set = getattr(args, "model__" + field, None) is not None
         if alias_set and twin_set:
             raise SystemExit(

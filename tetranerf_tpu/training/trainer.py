@@ -541,32 +541,21 @@ class Trainer:
         table to row-major TWICE (measured 1.5 ms/step in the device
         trace) — pay one layout copy here (every
         ``occupancy_update_every`` steps) instead."""
-        updated = (
-            jnp.asarray(self.mesh_tables.march_table)
-            .at[:, 24]
-            .set(self._occ)
-        )
+        updated = self.mesh_tables.with_occupancy(self._occ)
         try:
             from jax.experimental.layout import Format, Layout
 
             dst = Format(Layout((0, 1)), self._rep)
         except ImportError:  # older jax: accept the per-step copies
             dst = self._rep
-        repl = {"march_table": jax.device_put(updated, dst)}
-        if self.mesh_tables.march_table2.shape[0]:
-            # Two-hop rows carry every block's occupancy column: own
-            # (col 24) + the 4 neighbors' (cols 25k+24, via a [C, 4]
-            # gather of the EMA — amortized over the update cadence).
-            safe_nbr = jnp.maximum(
-                jnp.asarray(self.mesh_tables.neighbors), 0
+        repl = {"march_table": jax.device_put(updated.march_table, dst)}
+        if updated.march_table2.shape[0]:
+            # Two-hop rows carry every block's occupancy column (the
+            # block layout lives in ONE place: mesh._two_hop_occ_update,
+            # shared with with_occupancy).
+            repl["march_table2"] = jax.device_put(
+                updated.march_table2, dst
             )
-            t2 = jnp.asarray(self.mesh_tables.march_table2).at[:, 24].set(
-                self._occ
-            )
-            nbr_occ = self._occ[safe_nbr]
-            for k in range(4):
-                t2 = t2.at[:, 25 * (k + 1) + 24].set(nbr_occ[:, k])
-            repl["march_table2"] = jax.device_put(t2, dst)
         self.mesh_tables = dataclasses.replace(self.mesh_tables, **repl)
         self._march_version += 1
 
@@ -1439,8 +1428,13 @@ class Trainer:
         the device executes (the 20k image-path run fed at 13-18k
         rays/s HOST-bound on synchronous pixel-batch assembly, device
         mostly idle). Batch order and rng consumption are identical to
-        the synchronous loop — one producer owns ``next_batch``; 0
-        disables."""
+        the synchronous loop — one producer owns ``next_batch``.
+        Restriction: ``next_batch`` must be a pure function of ``(i,
+        its own rng)`` — it runs up to ``prefetch`` iterations AHEAD of
+        the train step and concurrently with ``eval_fn``, so a
+        ``next_batch`` that reads trainer state (curriculum/importance
+        sampling) or shares an rng with ``eval_fn`` must pass
+        ``prefetch=0`` to keep the synchronous semantics."""
         num_iterations = num_iterations or self.config.max_num_iterations
         eval_every = eval_every or self.config.steps_per_eval_batch
 
