@@ -113,4 +113,5 @@ class Trainer:
         log_fn: Callable[[str], None] = ...,
         eval_fn: Optional[Callable[[int, "Trainer"], None]] = ...,
         eval_every: Optional[int] = ...,
+        prefetch: int = ...,
     ) -> TrainState: ...
