@@ -48,7 +48,11 @@ def main():
                         "sparse far background points (the reference's "
                         "COLMAP operating point: mostly-empty hull, "
                         "where skip/termination must pay)")
-    parser.add_argument("--rays", type=int, default=8192)
+    parser.add_argument("--rays", type=int, default=16384,
+                        help="rays per batch (16384 measured +3.4% "
+                        "rays/s over 8192 warm on v5e; the step is "
+                        "throughput-bound, bigger batches amortize "
+                        "fixed costs)")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--max-steps", type=int, default=256,
                         help="traversal step bound per ray")
