@@ -23,15 +23,15 @@ for v in "" "--set traversal_hops=2" "--rays 16384" \
       | grep -E "steady step|warm state" >> /tmp/r5q_ab.log
 done
 
-log "stage 3: hard-scene quality A/B (5k steps x 2)"
+log "stage 3: final flagship bench validation (the round headline)"
+timeout 3600 python -u bench.py > /tmp/r5q_bench_final.log 2>&1
+
+log "stage 4: hard-scene quality A/B (5k steps x 2)"
 timeout 7200 python -u benchmarks/quality_ab_hard.py --steps 5000 \
     > /tmp/r5q_hard_ab.log 2>&1
 
-log "stage 4: dense-1M on-device bench"
+log "stage 5: dense-1M on-device bench"
 timeout 5400 python -u bench.py --points 1000000 --warmup-steps 1200 \
     --min-warmup 512 > /tmp/r5q_dense1m.log 2>&1
-
-log "stage 5: final flagship bench validation"
-timeout 3600 python -u bench.py > /tmp/r5q_bench_final.log 2>&1
 
 log "queue done"
