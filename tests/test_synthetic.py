@@ -192,6 +192,45 @@ def test_two_hop_flagship_train_step_matches_one_hop():
     assert np.isclose(losses[1], losses[2], rtol=1e-5), losses
 
 
+def test_two_hop_retune_and_refresh():
+    """The transmittance retune, occupancy refresh, and their probe fns
+    all run under ``traversal_hops=2`` (bench.py defaults to two-hop on
+    sparse meshes, so the cold warmup's retune ladder must work there,
+    not just the steady state covered above)."""
+    from tetranerf_tpu.geometry.mesh import build_mesh as _bm
+
+    points, colors = make_camera_scene(800, seed=1)
+    mesh = _bm(points, two_hop_table=True)
+    config = tetranerf_preset()
+    config.model = TetrahedraNerfConfig(
+        num_samples=8,
+        num_fine_samples=8,
+        max_intersected_triangles=64,
+        field_dim=8,
+        hidden_size=16,
+        compute_dtype="float32",
+        use_occupancy_field=True,
+        occupancy_update_every=1,
+        occupancy_retune_every=2,
+        occupancy_refresh_every=4,
+        ray_buckets=2,
+        traversal_hops=2,
+    )
+    model = TetraNerf(config.model, mesh)
+    trainer = Trainer(config, model, point_colors=colors)
+    rng = np.random.default_rng(2)
+    for _ in range(6):
+        o, d = sample_camera_rays(rng, 64)
+        m = trainer.train_step(
+            {
+                "origins": o,
+                "directions": d,
+                "rgb": camera_ray_targets(o, d),
+            }
+        )
+        assert np.isfinite(float(m["loss"]))
+
+
 def test_train_step_runs_on_camera_scene():
     points, colors = make_camera_scene(800, seed=1)
     mesh = build_mesh(points)
